@@ -1,0 +1,325 @@
+"""fe25519: batched field arithmetic mod p = 2^255 - 19, TPU-native.
+
+Design (not a port): the CUDA reference (curve25519_ops.cu:41-265) stores a field
+element as 4x64-bit limbs and multiplies via __uint128_t schoolbook. TPUs have no
+64-bit integer multiply, so we represent a *batch* of field elements as an int32
+array of shape [..., 20] holding 20 limbs of 13 bits (radix 2^13, little-endian,
+value = sum(limb[i] * 2**(13*i))).  Why 13: a 20-term convolution of 13-bit limbs
+peaks at 20 * (2^13-1)^2 = 1_341_849_620 < 2^31, so every partial product and
+partial sum in schoolbook multiplication is exact in a signed int32 VPU lane --
+the whole field layer runs on native TPU int32 vector ops with no emulated wide
+arithmetic anywhere.
+
+All functions are shape-polymorphic over leading batch dims, jit/vmap/shard_map
+compatible, and keep a *weak normalization* invariant: stored limbs are always in
+[0, 2^13), i.e. values are < 2^260 and possibly >= p; `to_bytes` performs the
+canonical reduction.  Semantics are bit-exact (at the serialized-bytes level)
+with a correct mod-p oracle; the reference's broken `fe25519_invert`
+(curve25519_ops.cu:157-207) is replaced by the full Fermat chain.
+
+Parity map (reference -> here):
+  fe25519_add/sub        (curve25519_ops.cu:41-90)   -> add / sub
+  fe25519_mul/sq         (curve25519_ops.cu:93-153)  -> mul / sq
+  fe25519_invert         (curve25519_ops.cu:157-207) -> invert (correct chain)
+  fe25519_pow2523        (curve25519_ops.cu:269-315) -> pow2523
+  fe25519_neg            (curve25519_ops.cu:210-217) -> neg
+  fe25519_cswap          (curve25519_ops.cu:29-38)   -> cswap
+  fe25519_tobytes/frombytes (curve25519_ops.cu:220-265) -> to_bytes / from_bytes
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- constants ---------------------------------------------------------------
+L = 20                      # number of limbs
+W = 13                      # bits per limb
+MASK = (1 << W) - 1         # 0x1FFF
+P = (1 << 255) - 19         # the field prime
+FOLD = 608                  # 2^260 mod p  (= 32 * 19)
+
+# Additive complement used by sub(): K = 2*(2^260 - 1) - 1214, a multiple of p
+# whose limb digits are all >= 2^13, so (K - b) has non-negative limbs for any
+# weakly normalized b.
+_K_NEG = np.full((L,), 2 * MASK, dtype=np.int32)
+_K_NEG[0] = 2 * MASK - 1214
+assert (sum(int(v) << (W * i) for i, v in enumerate(_K_NEG))) % P == 0
+
+DTYPE = jnp.int32
+
+
+def zeros(shape=()) -> jax.Array:
+    return jnp.zeros(tuple(shape) + (L,), dtype=DTYPE)
+
+
+def ones(shape=()) -> jax.Array:
+    return jnp.zeros(tuple(shape) + (L,), dtype=DTYPE).at[..., 0].set(1)
+
+
+# --- host <-> device conversion helpers (exact, for tests & protocol glue) ---
+def from_int(x, shape=()) -> jax.Array:
+    """Host helper: python int (mod p) -> limb array broadcast to `shape`."""
+    x %= P
+    limbs = [(x >> (W * i)) & MASK for i in range(L)]
+    arr = jnp.array(limbs, dtype=DTYPE)
+    return jnp.broadcast_to(arr, tuple(shape) + (L,))
+
+
+def from_ints(xs) -> jax.Array:
+    """Host helper: list of python ints -> [n, L] limb array."""
+    out = np.zeros((len(xs), L), dtype=np.int32)
+    for j, x in enumerate(xs):
+        x %= P
+        for i in range(L):
+            out[j, i] = (x >> (W * i)) & MASK
+    return jnp.asarray(out)
+
+
+def to_int(a) -> int:
+    """Host helper: single limb array [L] -> python int (NOT reduced mod p)."""
+    limbs = np.asarray(a)
+    assert limbs.shape == (L,), limbs.shape
+    return sum(int(v) << (W * i) for i, v in enumerate(limbs))
+
+
+def to_ints(a):
+    """Host helper: [n, L] limb array -> list of python ints (not reduced)."""
+    arr = np.asarray(a)
+    return [sum(int(v) << (W * i) for i, v in enumerate(row)) for row in arr]
+
+
+# --- normalization -----------------------------------------------------------
+def _carry_pass(t: jax.Array) -> jax.Array:
+    """One full carry pass; input limbs non-negative < 2^31. Folds the carry
+    out of limb 19 back into limb 0 via 2^260 == 608 (mod p)."""
+    limbs = [t[..., i] for i in range(L)]
+    out = []
+    c = jnp.zeros_like(limbs[0])
+    for i in range(L):
+        v = limbs[i] + c
+        out.append(v & MASK)
+        c = v >> W
+    out[0] = out[0] + c * FOLD
+    return jnp.stack(out, axis=-1)
+
+
+def normalize_weak(t: jax.Array) -> jax.Array:
+    """Bring limbs (non-negative, < 2^31) to [0, 2^13). Value preserved mod p."""
+    return _carry_pass(_carry_pass(_carry_pass(t)))
+
+
+# --- ring ops ----------------------------------------------------------------
+@jax.jit
+def add(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference parity: fe25519_add (curve25519_ops.cu:41-68)."""
+    return _carry_pass(_carry_pass(a + b))
+
+
+@jax.jit
+def neg(b: jax.Array) -> jax.Array:
+    """p - b (mod p). Reference parity: fe25519_neg (curve25519_ops.cu:210-217)."""
+    k = jnp.asarray(_K_NEG)
+    return _carry_pass(_carry_pass(k - b))
+
+
+@jax.jit
+def sub(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference parity: fe25519_sub (curve25519_ops.cu:71-90)."""
+    k = jnp.asarray(_K_NEG)
+    return _carry_pass(_carry_pass(a + (k - b)))
+
+
+@jax.jit
+def mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Schoolbook convolution + top-limb fold; exact in int32.
+
+    Reference parity: fe25519_mul (curve25519_ops.cu:93-146). The reference's
+    4x64 __uint128_t schoolbook becomes a 20-tap shift-and-add convolution whose
+    taps are full-width VPU vector ops over the batch.
+    """
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    acc = jnp.zeros(batch + (2 * L - 1,), dtype=DTYPE)
+    for i in range(L):
+        acc = acc.at[..., i : i + L].add(a[..., i : i + 1] * b)
+    # fold coefficients 20..38: 2^(13k) = 2^(13(k-20)) * 2^260 == ... * 608
+    top = acc[..., L:]
+    lo = top & MASK
+    hi = top >> W
+    main = acc[..., :L]
+    main = main.at[..., 0 : L - 1].add(FOLD * lo)
+    main = main.at[..., 1:L].add(FOLD * hi)
+    return normalize_weak(main)
+
+
+@jax.jit
+def sq(a: jax.Array) -> jax.Array:
+    """Reference parity: fe25519_sq (curve25519_ops.cu:149-153)."""
+    return mul(a, a)
+
+
+def sqn(a: jax.Array, n: int) -> jax.Array:
+    """a^(2^n) via n squarings (fori_loop keeps the jit graph small)."""
+    if n <= 4:
+        for _ in range(n):
+            a = sq(a)
+        return a
+    return jax.lax.fori_loop(0, n, lambda _, x: sq(x), a)
+
+
+def _pow_chain_250(z: jax.Array):
+    """Shared prefix of the Fermat ladders: returns (z^(2^250-1), z^2, z^11)."""
+    z2 = sq(z)
+    z8 = sqn(z2, 2)
+    z9 = mul(z, z8)
+    z11 = mul(z2, z9)
+    z22 = sq(z11)
+    z_5_0 = mul(z9, z22)                     # 2^5 - 1
+    z_10_0 = mul(sqn(z_5_0, 5), z_5_0)       # 2^10 - 1
+    z_20_0 = mul(sqn(z_10_0, 10), z_10_0)    # 2^20 - 1
+    z_40_0 = mul(sqn(z_20_0, 20), z_20_0)    # 2^40 - 1
+    z_50_0 = mul(sqn(z_40_0, 10), z_10_0)    # 2^50 - 1
+    z_100_0 = mul(sqn(z_50_0, 50), z_50_0)   # 2^100 - 1
+    z_200_0 = mul(sqn(z_100_0, 100), z_100_0)  # 2^200 - 1
+    z_250_0 = mul(sqn(z_200_0, 50), z_50_0)  # 2^250 - 1
+    return z_250_0, z2, z11
+
+
+@jax.jit
+def invert(z: jax.Array) -> jax.Array:
+    """z^(p-2) = z^(2^255 - 21): the *complete* Fermat chain.
+
+    Replaces the reference's broken fe25519_invert (curve25519_ops.cu:157-207,
+    which truncates the chain and self-multiplies at cu:195); every fuzzy
+    comparison in the reference exists to paper over that bug, so correctness
+    here is what lets the TPU verifier use exact point equality.
+    """
+    z_250_0, _, z11 = _pow_chain_250(z)
+    return mul(sqn(z_250_0, 5), z11)         # 2^255 - 32 + 11 = 2^255 - 21
+
+
+@jax.jit
+def pow2523(z: jax.Array) -> jax.Array:
+    """z^((p-5)/8) = z^(2^252 - 3), used for square roots / decompression.
+
+    Reference parity: fe25519_pow2523 (curve25519_ops.cu:269-315).
+    """
+    z_250_0, _, _ = _pow_chain_250(z)
+    return mul(sqn(z_250_0, 2), z)           # 2^252 - 4 + 1 = 2^252 - 3
+
+
+def cswap(swap: jax.Array, a: jax.Array, b: jax.Array):
+    """Branchless conditional swap. Reference: fe25519_cswap (cu:29-38)."""
+    m = (-swap.astype(DTYPE))[..., None]
+    diff = (a ^ b) & m
+    return a ^ diff, b ^ diff
+
+
+@functools.partial(jax.jit, static_argnames=('c',))
+def mul_small(a: jax.Array, c: int) -> jax.Array:
+    """Multiply by a small constant 0 <= c < 2^17 (limb products stay < 2^31)."""
+    assert 0 <= c < (1 << 17)
+    return normalize_weak(a * jnp.int32(c))
+
+
+# --- canonical serialization -------------------------------------------------
+@jax.jit
+def canonical(a: jax.Array) -> jax.Array:
+    """Fully reduce to [0, p), still in limb form. Input weakly normalized."""
+    # step 1: fold bits >= 255 (limb19 bits 8..12) down via 2^255 == 19
+    t = a[..., L - 1] >> 8
+    a = a.at[..., L - 1].set(a[..., L - 1] & 0xFF)
+    a = _carry_pass(a.at[..., 0].add(19 * t))
+    # step 2: possible single wrap again
+    t = a[..., L - 1] >> 8
+    a = a.at[..., L - 1].set(a[..., L - 1] & 0xFF)
+    a = _carry_pass(a.at[..., 0].add(19 * t))
+    # step 3: conditional subtract p:  v >= p  <=>  v + 19 >= 2^255
+    u = _carry_pass(a.at[..., 0].add(19))
+    ge_p = (u[..., L - 1] >> 8) & 1
+    u = u.at[..., L - 1].set(u[..., L - 1] & 0xFF)
+    return jnp.where(ge_p[..., None].astype(bool), u, a)
+
+
+# static byte<->limb bit-slicing tables, built once at import
+def _pack_plan():
+    plan = []  # per byte j: (i0, off, need_second)
+    for j in range(32):
+        i0, off = (8 * j) // W, (8 * j) % W
+        plan.append((i0, off, W - off < 8 and i0 + 1 < L))
+    return plan
+
+
+_PACK = _pack_plan()
+
+
+@jax.jit
+def to_bytes(a: jax.Array) -> jax.Array:
+    """Canonical 32-byte little-endian serialization.
+
+    Reference parity: fe25519_tobytes (curve25519_ops.cu:220-249).
+    """
+    a = canonical(a)
+    outs = []
+    for j in range(32):
+        i0, off, second = _PACK[j]
+        v = a[..., i0] >> off
+        if second:
+            v = v | (a[..., i0 + 1] << (W - off))
+        outs.append(v & 0xFF)
+    return jnp.stack(outs, axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def from_bytes(b: jax.Array) -> jax.Array:
+    """32-byte LE -> weakly normalized limbs (all 256 bits kept, like the
+    reference's fe25519_frombytes, curve25519_ops.cu:252-265)."""
+    b = b.astype(DTYPE)
+    outs = []
+    for i in range(L):
+        j0, off = (W * i) // 8, (W * i) % 8
+        v = b[..., j0] >> off
+        if j0 + 1 < 32:
+            v = v | (b[..., j0 + 1] << (8 - off))
+        if off + W > 16 and j0 + 2 < 32:
+            v = v | (b[..., j0 + 2] << (16 - off))
+        outs.append(v & MASK)
+    return jnp.stack(outs, axis=-1)
+
+
+@jax.jit
+def eq(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact equality mod p -> bool array over batch dims."""
+    return jnp.all(canonical(a) == canonical(b), axis=-1)
+
+
+@jax.jit
+def is_zero(a: jax.Array) -> jax.Array:
+    return jnp.all(canonical(a) == 0, axis=-1)
+
+
+# --- Montgomery batch inversion ----------------------------------------------
+@functools.partial(jax.jit, static_argnames=('axis',))
+def batch_invert(a: jax.Array, axis: int = 0) -> jax.Array:
+    """Invert a batch of nonzero field elements with ONE Fermat inversion.
+
+    The reference attempts this with a racy parallel prefix-product kernel
+    (cuda_field_ops.cu:222-254, a genuine cross-thread data race); here the
+    prefix products are a jax.lax.associative_scan over the mul monoid, which
+    is race-free by construction and O(log n) depth on TPU.
+    """
+    if axis != 0:
+        a = jnp.moveaxis(a, axis, 0)
+    prefix = jax.lax.associative_scan(mul, a, axis=0)       # p_i = a_0*...*a_i
+    total_inv = invert(prefix[-1])
+    suffix_inv = jax.lax.associative_scan(mul, a[::-1], axis=0)[::-1]
+    # inv(a_i) = prefix_{i-1} * inv(prefix_{n-1}) * suffix_{i+1}
+    n = a.shape[0]
+    pre = jnp.concatenate([ones(a.shape[1:-1])[None], prefix[: n - 1]], axis=0)
+    suf = jnp.concatenate([suffix_inv[1:], ones(a.shape[1:-1])[None]], axis=0)
+    out = mul(mul(pre, suf), total_inv[None])
+    if axis != 0:
+        out = jnp.moveaxis(out, 0, axis)
+    return out
