@@ -1,0 +1,284 @@
+"""Bulletproof range proofs: prover and (sound, exact) verifier.
+
+Protocol parity with the reference (bulletproof_range_proof.cu:1159-1812):
+same commitment structure {V, A, S, T1, T2, taux, mu, t, ip_proof}
+(bulletproof_range_proof.h:9-19), same challenge domains
+(bulletproof_challenge.cu:24-77), same prover step order (bit decomposition ->
+A,S -> y,z -> t0/t1/t2 -> T1,T2 -> x -> t,taux,mu -> l(x),r(x) -> IPA).
+
+Where we deliberately diverge (SURVEY.md §8: match intent, not defects):
+  * scalar algebra is mod l (group order), not mod p — this is what makes the
+    polynomial identity hold exactly in the exponent;
+  * no degenerate-IPA fallback (the reference replaces l,r with [t,0..],[1,0..]
+    when its own mod-p math breaks, cu:1632-1650 + fix_inner_product_proof
+    cu:198-235) — our <l(x), r(x)> equals t-hat by construction;
+  * verification is *exact*: three checks (polynomial identity, merged
+    P/IPA multiexp, curve membership of all proof points), all via exact
+    point equality, replacing robust_polynomial_identity_check's four fuzzy
+    methods (cu:412-655) and enhanced_range_check's heuristics (cu:765-875);
+  * out-of-range values are rejected cryptographically by the verifier, not
+    just refused by the prover (the reference's negative test passes only
+    because the prover emits an empty proof, cu:1176-1188).
+
+Every group operation (commitments, the verification multiexp) is a device
+MSM (ops/msm.py); Fiat-Shamir and mod-l vector algebra run on host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve as C, field as F, msm as M
+from ..utils import scalars as S
+from . import ipa
+from .generators import Generators, get_generators
+from .transcript import Transcript
+
+# Challenge domains: bulletproof_challenge.cu:24-77
+DOMAIN_Y = b"BulletproofYChal"
+DOMAIN_Z = b"BulletproofZChal"
+DOMAIN_X = b"BulletproofXChal"
+DOMAIN_Q = b"BulletproofQChal"   # new: binds the IPA Q-generator challenge
+
+
+@dataclass
+class RangeProof:
+    """Reference parity: RangeProof struct (bulletproof_range_proof.h:9-19)."""
+    n: int               # range bit-length
+    V: bytes             # value commitment (compressed)
+    A: bytes
+    S: bytes
+    T1: bytes
+    T2: bytes
+    taux: int
+    mu: int
+    t_hat: int
+    ip: ipa.InnerProductProof
+
+
+class ProveError(ValueError):
+    pass
+
+
+def validate_range_input(value: int, n: int) -> bool:
+    """Reference parity: validate_range_input (bulletproof_range_proof.cu:238-263)."""
+    return 0 <= value < (1 << n)
+
+
+def pedersen_commit(value: int, blinding: int, gens: Generators) -> C.GE:
+    """V = value*g + blinding*h. Reference: pedersen_commit
+    (bulletproof_range_proof.cu:277-296)."""
+    return M.msm_ints(M.concat_ge(gens.g, gens.h), [value % S.ELL, blinding % S.ELL])
+
+
+def compute_delta(y: int, z: int, n: int) -> int:
+    """delta(y,z) = (z - z^2)<1, y^n> - z^3 <1, 2^n>  (mod l).
+    Reference: compute_precise_delta (bulletproof_range_proof.cu:315-409)."""
+    sum_y = 0
+    acc = 1
+    for _ in range(n):
+        sum_y += acc
+        acc = acc * y % S.ELL
+    sum_2 = (1 << n) - 1
+    z2 = z * z % S.ELL
+    z3 = z2 * z % S.ELL
+    return ((z - z2) * sum_y - z3 * sum_2) % S.ELL
+
+
+def _compress(p: C.GE) -> bytes:
+    return bytes(np.asarray(C.to_bytes(p)).tolist())
+
+
+def _base_transcript(n: int) -> Transcript:
+    t = Transcript(b"tpu-bulletproofs/range")
+    t.append(b"n", n.to_bytes(4, "little"))
+    return t
+
+
+def prove(value: int, blinding: int, n: int,
+          gens: Generators | None = None) -> RangeProof:
+    """Generate a range proof that `value` lies in [0, 2^n).
+
+    Reference parity: generate_range_proof (bulletproof_range_proof.cu:1159-1714).
+    """
+    if not validate_range_input(value, n):
+        # parity: the reference prover refuses out-of-range values (cu:1176-1188)
+        raise ProveError(f"value out of range [0, 2^{n})")
+    if n & (n - 1) != 0:
+        raise ProveError("n must be a power of two")
+    gens = gens or get_generators(n)
+    assert gens.n >= n
+    G = C.GE(*(c[:n] for c in gens.G))
+    H = C.GE(*(c[:n] for c in gens.H))
+
+    tr = _base_transcript(n)
+
+    # V = g^v h^gamma  (cu:1194)
+    V_pt = pedersen_commit(value, blinding, gens)
+    V = _compress(V_pt)
+
+    # bit decomposition: aL[i] = bit i of value; aR = aL - 1  (cu:1197-1240)
+    aL = [(value >> i) & 1 for i in range(n)]
+    aR = [(x - 1) % S.ELL for x in aL]
+    sL = [S.sc_random() for _ in range(n)]
+    sR = [S.sc_random() for _ in range(n)]
+    alpha, rho = S.sc_random(), S.sc_random()
+
+    # A = h^alpha G^aL H^aR ; S = h^rho G^sL H^sR  (cu:1267-1289)
+    A_pt = M.msm_ints(M.concat_ge(gens.h, G, H), [alpha] + aL + aR)
+    S_pt = M.msm_ints(M.concat_ge(gens.h, G, H), [rho] + sL + sR)
+    A, S_b = _compress(A_pt), _compress(S_pt)
+
+    tr.append_point(b"V", V)
+    tr.append_point(b"A", A)
+    tr.append_point(b"S", S_b)
+    y = tr.challenge(DOMAIN_Y)          # cu:1299 / bulletproof_challenge.cu:24-44
+    z = tr.challenge(DOMAIN_Z)          # cu:1311 / bulletproof_challenge.cu:47-58
+
+    y_n = S.vec_powers(y, n)
+    two_n = S.vec_powers(2, n)
+    z2 = z * z % S.ELL
+
+    # l(X) = (aL - z 1) + sL X ; r(X) = y^n o (aR + z 1 + sR X) + z^2 2^n
+    l0 = [(x - z) % S.ELL for x in aL]
+    l1 = sL
+    r0 = [(yi * ((x + z) % S.ELL) + z2 * ti) % S.ELL
+          for yi, x, ti in zip(y_n, aR, two_n)]
+    r1 = [(yi * si) % S.ELL for yi, si in zip(y_n, sR)]
+
+    # t(X) = t0 + t1 X + t2 X^2  (cu:1348-1432)
+    t0 = S.vec_inner(l0, r0)
+    t2 = S.vec_inner(l1, r1)
+    t1 = (S.vec_inner(S.vec_add(l0, l1), S.vec_add(r0, r1)) - t0 - t2) % S.ELL
+
+    tau1, tau2 = S.sc_random(), S.sc_random()
+    T1_pt = pedersen_commit(t1, tau1, gens)     # cu:1434-1452
+    T2_pt = pedersen_commit(t2, tau2, gens)
+    T1, T2 = _compress(T1_pt), _compress(T2_pt)
+
+    tr.append_point(b"T1", T1)
+    tr.append_point(b"T2", T2)
+    x = tr.challenge(DOMAIN_X)          # cu:1454-1473
+
+    # t, taux, mu  (cu:1475-1511)
+    l_vec = [(a + b * x) % S.ELL for a, b in zip(l0, l1)]
+    r_vec = [(a + b * x) % S.ELL for a, b in zip(r0, r1)]
+    t_hat = S.vec_inner(l_vec, r_vec)
+    x2 = x * x % S.ELL
+    taux = (tau2 * x2 + tau1 * x + z2 * blinding) % S.ELL
+    mu = (alpha + rho * x) % S.ELL
+
+    tr.append_scalar(b"taux", taux)
+    tr.append_scalar(b"mu", mu)
+    tr.append_scalar(b"t", t_hat)
+    w = tr.challenge(DOMAIN_Q)
+    Q = C.scalarmult(gens.g, F.from_int(w))
+
+    # IPA over (G, H') with H'_i = y^{-i} H_i  (cu:1662-1690)
+    y_inv = S.sc_inv(y)
+    y_inv_pows = S.vec_powers(y_inv, n)
+    H_prime = M.scale_points(H, F.from_ints(y_inv_pows))
+    ip = ipa.prove(G, H_prime, Q, l_vec, r_vec, tr)
+
+    return RangeProof(n=n, V=V, A=A, S=S_b, T1=T1, T2=T2,
+                      taux=taux, mu=mu, t_hat=t_hat, ip=ip)
+
+
+def _decompress_all(blobs):
+    arr = jnp.asarray(np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs]))
+    pts, ok = C.from_bytes(arr)
+    return pts, bool(jnp.all(ok))
+
+
+def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
+    """Verify a range proof with exact algebra.  Reference parity:
+    range_proof_verify (bulletproof_range_proof.cu:1717-1812), with the fuzzy
+    acceptance paths replaced by exact checks.
+
+    Check 1 (polynomial identity, replaces robust_polynomial_identity_check
+    cu:412-655):   (t_hat - delta)g + taux*h - z^2 V - x T1 - x^2 T2 == 0
+    Check 2 (merged P-reconstruction + one-shot IPA, replaces
+    calculate_inner_product_point cu:658-763 + inner_product_verify):
+       sum (a s_i + z) G_i
+     + sum (b s_i^{-1} y^{-i} - z - z^2 2^i y^{-i}) H_i
+     + (ab - t_hat) w g + mu h - A - x S - sum(u_j^2 L_j + u_j^{-2} R_j) == 0
+    """
+    n = proof.n
+    if n < 1 or n & (n - 1) != 0 or proof.ip.n != n:
+        return False
+    if len(proof.ip.L) != len(proof.ip.R) or (1 << len(proof.ip.L)) != n:
+        return False
+    gens = gens or get_generators(n)
+    G = C.GE(*(c[:n] for c in gens.G))
+    H = C.GE(*(c[:n] for c in gens.H))
+
+    # decompress & validate every proof point (on-curve by construction of
+    # the decompression equation; also rejects non-canonical encodings)
+    pts, ok = _decompress_all([proof.V, proof.A, proof.S, proof.T1, proof.T2])
+    if not ok:
+        return False
+    V_pt = C.GE(*(c[0] for c in pts))
+    A_pt = C.GE(*(c[1] for c in pts))
+    S_pt = C.GE(*(c[2] for c in pts))
+    T1_pt = C.GE(*(c[3] for c in pts))
+    T2_pt = C.GE(*(c[4] for c in pts))
+
+    tr = _base_transcript(n)
+    tr.append_point(b"V", proof.V)
+    tr.append_point(b"A", proof.A)
+    tr.append_point(b"S", proof.S)
+    y = tr.challenge(DOMAIN_Y)
+    z = tr.challenge(DOMAIN_Z)
+    tr.append_point(b"T1", proof.T1)
+    tr.append_point(b"T2", proof.T2)
+    x = tr.challenge(DOMAIN_X)
+    tr.append_scalar(b"taux", proof.taux)
+    tr.append_scalar(b"mu", proof.mu)
+    tr.append_scalar(b"t", proof.t_hat)
+    w = tr.challenge(DOMAIN_Q)
+
+    z2 = z * z % S.ELL
+    x2 = x * x % S.ELL
+    delta = compute_delta(y, z, n)
+    t_hat = proof.t_hat % S.ELL
+
+    # --- check 1: polynomial identity (exact) ---
+    sc1 = [(t_hat - delta) % S.ELL, proof.taux % S.ELL,
+           (S.ELL - z2) % S.ELL, (S.ELL - x) % S.ELL, (S.ELL - x2) % S.ELL]
+    res1 = M.msm_ints(M.concat_ge(gens.g, gens.h, V_pt, T1_pt, T2_pt), sc1)
+    if not bool(C.is_identity(res1)):
+        return False
+
+    # --- check 2: merged P + one-shot IPA multiexp (exact) ---
+    us = ipa.challenges_from_transcript(proof.ip, tr)
+    s, s_inv = ipa.fold_scalars(us, n)
+    a, b = proof.ip.a % S.ELL, proof.ip.b % S.ELL
+    # note: a*b == t_hat is enforced by the (ab - t_hat)w g term of the multiexp
+    y_inv = S.sc_inv(y)
+    y_inv_pows = S.vec_powers(y_inv, n)
+    two_n = S.vec_powers(2, n)
+
+    g_sc = [(a * si + z) % S.ELL for si in s]
+    h_sc = [(b * sii % S.ELL * yi - z - z2 * ti % S.ELL * yi) % S.ELL
+            for sii, yi, ti in zip(s_inv, y_inv_pows, two_n)]
+    gq_sc = (a * b - t_hat) % S.ELL * w % S.ELL
+    h_single = proof.mu % S.ELL
+    a_sc = S.ELL - 1
+    s_sc = (S.ELL - x) % S.ELL
+    l_sc = [(S.ELL - u * u % S.ELL) % S.ELL for u in us]
+    r_sc = [(S.ELL - pow(S.sc_inv(u), 2, S.ELL)) % S.ELL for u in us]
+
+    if proof.ip.L:
+        L_pts, okl = _decompress_all(proof.ip.L)
+        R_pts, okr = _decompress_all(proof.ip.R)
+        if not (okl and okr):
+            return False
+        bases = M.concat_ge(G, H, gens.g, gens.h, A_pt, S_pt, L_pts, R_pts)
+        sc2 = g_sc + h_sc + [gq_sc, h_single, a_sc, s_sc] + l_sc + r_sc
+    else:
+        bases = M.concat_ge(G, H, gens.g, gens.h, A_pt, S_pt)
+        sc2 = g_sc + h_sc + [gq_sc, h_single, a_sc, s_sc]
+    res2 = M.msm_ints(bases, sc2)
+    return bool(C.is_identity(res2))

@@ -1,0 +1,77 @@
+"""Multi-scalar multiplication: the hot kernel of Bulletproofs verification.
+
+v0 strategy (correctness-first, already TPU-shaped): one branchless 253-step
+ladder vectorized over all n points (the VPU analog of the reference's
+point_scalar_mul_kernel, cuda_bulletproof_kernels.cu:26-42, where one CUDA
+thread runs one ladder), followed by a log-depth tree reduction of batched
+curve adds (replacing the stride-doubling point_accumulate_kernel,
+cuda_bulletproof_kernels.cu:45-116, whose block-granular over-provisioning can
+double-add).  A Pippenger bucket kernel supersedes this for large n in
+ops/pippenger.py.
+
+Sizes are padded to powers of two with identity points so each distinct
+power-of-two compiles exactly once.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import curve as C
+from . import field as F
+
+
+@jax.jit
+def msm(points: C.GE, scalars: jax.Array) -> C.GE:
+    """sum_i scalars[i] * points[i].  points: GE [n]; scalars: int32 [n, 20]
+    (radix-2^13 limbs, values < 2^253).  Returns a single GE.
+
+    Reference parity: cuda_point_vector_multi_scalar_mul
+    (cuda_bulletproof_kernels.cu:62-116) and the CPU fallback
+    point_vector_multi_scalar_mul (bulletproof_vectors.cu:189-224)."""
+    prods = C.scalarmult(points, scalars)
+    return C.tree_reduce(prods)
+
+
+def _pad_pow2(points: C.GE, scalars: jax.Array):
+    n = scalars.shape[0]
+    m = 1
+    while m < n:
+        m *= 2
+    if m == n:
+        return points, scalars
+    pad_p = C.identity((m - n,))
+    pad_s = jnp.zeros((m - n, F.L), dtype=F.DTYPE)
+    points = C.GE(*(jnp.concatenate([a, b], 0) for a, b in zip(points, pad_p)))
+    return points, jnp.concatenate([scalars, pad_s], 0)
+
+
+def msm_ints(points: C.GE, scalars) -> C.GE:
+    """Host-glue MSM: python-int scalars (mod l), padded to a power of two."""
+    sc = F.from_ints([s % F.P for s in scalars])  # scalars < l < p: exact
+    p, s = _pad_pow2(points, sc)
+    return msm(p, s)
+
+
+def concat_ge(*parts: C.GE) -> C.GE:
+    """Concatenate batched GE groups along the batch axis (builds MSM bases)."""
+    comps = []
+    for i in range(4):
+        comps.append(jnp.concatenate(
+            [p[i] if p[i].ndim == 2 else p[i][None] for p in parts], axis=0))
+    return C.GE(*comps)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fold_generators(lo: C.GE, hi: C.GE, s_lo: jax.Array, s_hi: jax.Array, k: int = 0) -> C.GE:
+    """G'_i = s_lo * lo_i + s_hi * hi_i  (the IPA generator fold; reference:
+    bulletproof_vectors.cu:641-663 does this with host scalarmults)."""
+    return C.add(C.scalarmult(lo, s_lo), C.scalarmult(hi, s_hi))
+
+
+@jax.jit
+def scale_points(points: C.GE, scalars: jax.Array) -> C.GE:
+    """Elementwise s_i * P_i (no reduction) — e.g. H'_i = y^-i H_i."""
+    return C.scalarmult(points, scalars)
