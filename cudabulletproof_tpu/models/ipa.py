@@ -1,23 +1,30 @@
 """Inner-product argument (log-round) — prover and one-shot verifier.
 
-Statement: P = <a, G> + <b, H> + <a,b> * Q for secret vectors a, b.
+Statement: P = <a, G'> + <b, H'> + q_weight*<a,b>*Q, where G'_i = G_i and
+H'_i = h_weights[i] * H_i (the range proof passes h_weights = y^{-i}; the
+Q-generator is Q = q_weight * Q_base, kept implicit so no extra scalarmult is
+ever materialized).
 
 Prover parity: inner_product_prove (bulletproof_vectors.cu:277-538) — same
 round structure (c_L = <a_L, b_R>, L = <a_L, G_R> + <b_R, H_L> + c_L*Q, ...),
-with the challenge domain "InnerProductChal" (bulletproof_vectors.cu:448-462).
-Scalar folds run on host mod l; every group op (L/R commitments, generator
-folds) is a device MSM.
+same challenge domain "InnerProductChal" (bulletproof_vectors.cu:448-462).
 
-Verifier: instead of the reference's explicit per-round G'/H' fold with
-host-side scalarmults (bulletproof_vectors.cu:541-762) we use the standard
-one-shot verification: expand the fold coefficients s_i = prod_j u_j^{+-1}
-and check a single (2n + 2 log n + 2)-term MSM against the identity — exact
-point equality, no fuzzy acceptance (the reference's relaxed comparisons at
-bulletproof_vectors.cu:713-749 exist only to mask its broken field inverse).
+TPU-first twist: the reference folds the generator vectors G', H' each round
+with thousands of host scalarmults (bulletproof_vectors.cu:641-663).  Here the
+fold is tracked *symbolically* on host — each original generator G_k carries a
+(owner, weight) pair, folded in O(n) int multiplies per round — and every
+round's L/R is a single MSM over the ORIGINAL bases.  Consequence: every group
+op in the entire protocol is one fixed-shape MSM kernel (compiled once),
+and the device never materializes folded generator vectors at all.
+
+Verifier: the standard one-shot check — expand s_i = prod_j u_j^{+-1} and
+check one (2n + 2 log n + 2)-term MSM against the identity.  Exact point
+equality (the reference's relaxed byte-diff acceptance at
+bulletproof_vectors.cu:713-749 exists only to mask its broken field inverse).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,30 +48,40 @@ class InnerProductProof:
 
 
 def _compress_pair(l_pt: C.GE, r_pt: C.GE):
-    pair = C.GE(*(jnp.stack([a, b]) for a, b in zip(l_pt, r_pt)))
+    pair = C.GE(*(jnp.stack([x, y]) for x, y in zip(l_pt, r_pt)))
     both = np.asarray(C.to_bytes_batch(pair))
     return bytes(both[0].tolist()), bytes(both[1].tolist())
 
 
-def prove(G: C.GE, H: C.GE, Q: C.GE, a, b, transcript: Transcript) -> InnerProductProof:
-    """a, b: lists of python ints (mod l); G/H: device GE [n]; Q: GE."""
+def prove(G: C.GE, H: C.GE, Q: C.GE, a, b, transcript: Transcript,
+          q_weight: int = 1, h_weights=None) -> InnerProductProof:
+    """a, b: python ints (mod l); G/H: device GE [n]; Q: GE (unbatched)."""
     n = len(a)
     assert n & (n - 1) == 0 and n >= 1
-    a, b = list(a), list(b)
+    a, b = [x % S.ELL for x in a], [x % S.ELL for x in b]
+    wG = [1] * n                         # weight of original G_k
+    wH = list(h_weights) if h_weights is not None else [1] * n
+    own = list(range(n))                 # current folded index of original k
+    bases = M.concat_ge(G, H, Q)         # fixed for every round
+    m = n
     L_out, R_out = [], []
-    while n > 1:
-        h = n // 2
+    while m > 1:
+        h = m // 2
         a_L, a_R = a[:h], a[h:]
         b_L, b_R = b[:h], b[h:]
         c_L = S.vec_inner(a_L, b_R)
         c_R = S.vec_inner(a_R, b_L)
-        G_L = C.GE(*(c[:h] for c in G))
-        G_R = C.GE(*(c[h:] for c in G))
-        H_L = C.GE(*(c[:h] for c in H))
-        H_R = C.GE(*(c[h:] for c in H))
-        # L = <a_L, G_R> + <b_R, H_L> + c_L Q ; R = <a_R, G_L> + <b_L, H_R> + c_R Q
-        L_pt = M.msm_ints(M.concat_ge(G_R, H_L, Q), a_L + b_R + [c_L])
-        R_pt = M.msm_ints(M.concat_ge(G_L, H_R, Q), a_R + b_L + [c_R])
+        # L = <a_L, Gcur_R> + <b_R, Hcur_L> + c_L * q_weight * Q
+        gl = [a_L[own[k] - h] * wG[k] % S.ELL if own[k] >= h else 0
+              for k in range(n)]
+        hl = [b_R[own[k]] * wH[k] % S.ELL if own[k] < h else 0
+              for k in range(n)]
+        gr = [a_R[own[k]] * wG[k] % S.ELL if own[k] < h else 0
+              for k in range(n)]
+        hr = [b_L[own[k] - h] * wH[k] % S.ELL if own[k] >= h else 0
+              for k in range(n)]
+        L_pt = M.msm_ints(bases, gl + hl + [c_L * q_weight % S.ELL])
+        R_pt = M.msm_ints(bases, gr + hr + [c_R * q_weight % S.ELL])
         L_b, R_b = _compress_pair(L_pt, R_pt)
         transcript.append_point(b"ipL", L_b)
         transcript.append_point(b"ipR", R_b)
@@ -72,11 +89,18 @@ def prove(G: C.GE, H: C.GE, Q: C.GE, a, b, transcript: Transcript) -> InnerProdu
         u_inv = S.sc_inv(u)
         a = [(u * x + u_inv * y) % S.ELL for x, y in zip(a_L, a_R)]
         b = [(u_inv * x + u * y) % S.ELL for x, y in zip(b_L, b_R)]
-        G = M.fold_generators(G_L, G_R, F.from_int(u_inv, (h,)), F.from_int(u, (h,)))
-        H = M.fold_generators(H_L, H_R, F.from_int(u, (h,)), F.from_int(u_inv, (h,)))
+        # symbolic generator fold:  G' = u^{-1} G_L + u G_R ; H' = u H_L + u^{-1} H_R
+        for k in range(n):
+            if own[k] < h:
+                wG[k] = wG[k] * u_inv % S.ELL
+                wH[k] = wH[k] * u % S.ELL
+            else:
+                wG[k] = wG[k] * u % S.ELL
+                wH[k] = wH[k] * u_inv % S.ELL
+                own[k] -= h
         L_out.append(L_b)
         R_out.append(R_b)
-        n = h
+        m = h
     return InnerProductProof(n=1 << len(L_out), L=L_out, R=R_out, a=a[0], b=b[0])
 
 
@@ -107,33 +131,53 @@ def fold_scalars(us, n: int):
     return s, s_inv
 
 
-def verify(G: C.GE, H: C.GE, Q: C.GE, P: C.GE, c_claim: int,
-           proof: InnerProductProof, transcript: Transcript) -> bool:
-    """Standalone IPA verification (P must commit to <a,b> via Q with c=<a,b>
-    implicit): checks P == <a s, G> + <b s^{-1}, H> + ab Q - sum(...) exactly."""
+def decompress_proof_points(blobs):
+    """list[bytes] -> (GE [k], all_valid). Empty list -> (None, True).
+    Padded to a power of two (>=8) with a valid encoding so C.from_bytes
+    compiles for a fixed set of shapes."""
+    if not blobs:
+        return None, True
+    from ..utils import oracle
+    n = len(blobs)
+    m = 8
+    while m < n:
+        m *= 2
+    pad = oracle.BASE.compress()
+    arr = jnp.asarray(np.stack(
+        [np.frombuffer(x, dtype=np.uint8) for x in blobs]
+        + [np.frombuffer(pad, dtype=np.uint8)] * (m - n)))
+    pts, ok = C.from_bytes(arr)
+    return C.GE(*(c[:n] for c in pts)), bool(jnp.all(ok[:n]))
+
+
+def verify(G: C.GE, H: C.GE, Q: C.GE, P: C.GE,
+           proof: InnerProductProof, transcript: Transcript,
+           q_weight: int = 1, h_weights=None) -> bool:
+    """Standalone one-shot IPA verification with exact point equality.
+
+    The claimed inner product c is bound through P (P must include c*Q);
+    the final folded a*b relates to it only through the L/R cross terms."""
     n = proof.n
     if len(proof.L) != len(proof.R) or (1 << len(proof.L)) != n:
         return False
     us = challenges_from_transcript(proof, transcript)
     s, s_inv = fold_scalars(us, n)
     a, b = proof.a % S.ELL, proof.b % S.ELL
-    if c_claim is not None and (a * b) % S.ELL != c_claim % S.ELL:
-        return False
+    wH = list(h_weights) if h_weights is not None else [1] * n
     g_sc = [a * si % S.ELL for si in s]
-    h_sc = [b * si % S.ELL for si in s_inv]
-    q_sc = a * b % S.ELL
-    L_pts, ok_l = C.from_bytes(jnp.asarray(
-        np.stack([np.frombuffer(x, dtype=np.uint8) for x in proof.L])
-        if proof.L else np.zeros((0, 32), np.uint8)))
-    R_pts, ok_r = C.from_bytes(jnp.asarray(
-        np.stack([np.frombuffer(x, dtype=np.uint8) for x in proof.R])
-        if proof.R else np.zeros((0, 32), np.uint8)))
-    if proof.L and not (bool(jnp.all(ok_l)) and bool(jnp.all(ok_r))):
+    h_sc = [b * sii % S.ELL * wi % S.ELL for sii, wi in zip(s_inv, wH)]
+    q_sc = a * b % S.ELL * q_weight % S.ELL
+    l_sc = [(S.ELL - u * u % S.ELL) % S.ELL for u in us]
+    r_sc = [(S.ELL - pow(S.sc_inv(u), 2, S.ELL)) % S.ELL for u in us]
+    L_pts, okl = decompress_proof_points(proof.L)
+    R_pts, okr = decompress_proof_points(proof.R)
+    if not (okl and okr):
         return False
-    l_sc = [(-u * u) % S.ELL for u in us]
-    r_sc = [(-S.sc_inv(u) ** 2) % S.ELL for u in us]
-    bases = M.concat_ge(G, H, Q, P, L_pts, R_pts) if proof.L else \
-        M.concat_ge(G, H, Q, P)
-    sc = g_sc + h_sc + [q_sc, S.ELL - 1] + l_sc + r_sc
+    if L_pts is not None:
+        bases = M.concat_ge(G, H, Q, P, L_pts, R_pts)
+        sc = g_sc + h_sc + [q_sc, S.ELL - 1] + l_sc + r_sc
+    else:
+        bases = M.concat_ge(G, H, Q, P)
+        sc = g_sc + h_sc + [q_sc, S.ELL - 1]
     res = M.msm_ints(bases, sc)
     return bool(C.is_identity(res))

@@ -174,22 +174,33 @@ def prove(value: int, blinding: int, n: int,
     tr.append_scalar(b"mu", mu)
     tr.append_scalar(b"t", t_hat)
     w = tr.challenge(DOMAIN_Q)
-    Q = C.scalarmult(gens.g, F.from_int(w))
 
-    # IPA over (G, H') with H'_i = y^{-i} H_i  (cu:1662-1690)
+    # IPA over (G, H') with H'_i = y^{-i} H_i and Q = w*g, both kept implicit
+    # as host-side weights (cu:1662-1690 materializes H'; we never do)
     y_inv = S.sc_inv(y)
     y_inv_pows = S.vec_powers(y_inv, n)
-    H_prime = M.scale_points(H, F.from_ints(y_inv_pows))
-    ip = ipa.prove(G, H_prime, Q, l_vec, r_vec, tr)
+    ip = ipa.prove(G, H, gens.g, l_vec, r_vec, tr,
+                   q_weight=w, h_weights=y_inv_pows)
 
     return RangeProof(n=n, V=V, A=A, S=S_b, T1=T1, T2=T2,
                       taux=taux, mu=mu, t_hat=t_hat, ip=ip)
 
 
 def _decompress_all(blobs):
-    arr = jnp.asarray(np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs]))
+    """Batch-decompress, padded to a power of two (>=8) with a known-valid
+    encoding so C.from_bytes compiles for a fixed set of shapes."""
+    n = len(blobs)
+    m = 8
+    while m < n:
+        m *= 2
+    from ..utils import oracle
+    pad = oracle.BASE.compress()
+    arr = jnp.asarray(np.stack(
+        [np.frombuffer(b, dtype=np.uint8) for b in blobs]
+        + [np.frombuffer(pad, dtype=np.uint8)] * (m - n)))
     pts, ok = C.from_bytes(arr)
-    return pts, bool(jnp.all(ok))
+    pts = C.GE(*(c[:n] for c in pts))
+    return pts, bool(jnp.all(ok[:n]))
 
 
 def verify(proof: RangeProof, gens: Generators | None = None) -> bool:

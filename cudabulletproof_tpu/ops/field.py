@@ -92,9 +92,35 @@ def to_ints(a):
 
 
 # --- normalization -----------------------------------------------------------
+# Weak-normalization invariant: stored limbs are in [0, BOUND] with
+# BOUND = 2^13 + 608 = 8799 (not a strict 13 bits!).  Rationale: carries are
+# propagated by a *parallel carry relaxation* -- t <- (t & MASK) + roll(t>>13)
+# with the limb-19 carry folded into limb 0 times 608 (2^260 == 608 mod p) --
+# which is a handful of full-width vector ops instead of a 20-step sequential
+# chain (the chain's dynamic-update-slice ladder was both slow to compile and
+# hostile to TPU vectorization).  A +1 carry can survive a run of 8191-limbs,
+# so the closed bound after k passes is 8799 for limb 0 / 8192 elsewhere.
+# Closure proofs (per op, inputs <= BOUND):
+#   mul : conv coeffs <= 20*8799^2 = 1.55e9; +fold < 1.92e9 < 2^31; 5 passes.
+#   add : sums <= 17598; 2 passes.   sub: a + (K-b) <= 25181; 2 passes.
+# to_bytes/canonical produce fully reduced values regardless.
+BOUND = MASK + FOLD  # 8799
+
+_ROLL_MULT = np.ones((L,), dtype=np.int32)
+_ROLL_MULT[0] = FOLD
+
+
+def _relax(t: jax.Array, passes: int) -> jax.Array:
+    """Parallel carry relaxation; value preserved mod p."""
+    m = jnp.asarray(_ROLL_MULT)
+    for _ in range(passes):
+        t = (t & MASK) + jnp.roll(t >> W, 1, axis=-1) * m
+    return t
+
+
 def _carry_pass(t: jax.Array) -> jax.Array:
-    """One full carry pass; input limbs non-negative < 2^31. Folds the carry
-    out of limb 19 back into limb 0 via 2^260 == 608 (mod p)."""
+    """One full *sequential* carry pass (used only on the canonicalization
+    path, where the result must be strictly < 2^13 per limb)."""
     limbs = [t[..., i] for i in range(L)]
     out = []
     c = jnp.zeros_like(limbs[0])
@@ -107,29 +133,29 @@ def _carry_pass(t: jax.Array) -> jax.Array:
 
 
 def normalize_weak(t: jax.Array) -> jax.Array:
-    """Bring limbs (non-negative, < 2^31) to [0, 2^13). Value preserved mod p."""
-    return _carry_pass(_carry_pass(_carry_pass(t)))
+    """Bring limbs (non-negative, < 2^31) into the weak invariant."""
+    return _relax(t, 5)
 
 
 # --- ring ops ----------------------------------------------------------------
 @jax.jit
 def add(a: jax.Array, b: jax.Array) -> jax.Array:
     """Reference parity: fe25519_add (curve25519_ops.cu:41-68)."""
-    return _carry_pass(_carry_pass(a + b))
+    return _relax(a + b, 2)
 
 
 @jax.jit
 def neg(b: jax.Array) -> jax.Array:
     """p - b (mod p). Reference parity: fe25519_neg (curve25519_ops.cu:210-217)."""
     k = jnp.asarray(_K_NEG)
-    return _carry_pass(_carry_pass(k - b))
+    return _relax(k - b, 2)
 
 
 @jax.jit
 def sub(a: jax.Array, b: jax.Array) -> jax.Array:
     """Reference parity: fe25519_sub (curve25519_ops.cu:71-90)."""
     k = jnp.asarray(_K_NEG)
-    return _carry_pass(_carry_pass(a + (k - b)))
+    return _relax(a + (k - b), 2)
 
 
 @jax.jit
@@ -138,20 +164,23 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
 
     Reference parity: fe25519_mul (curve25519_ops.cu:93-146). The reference's
     4x64 __uint128_t schoolbook becomes a 20-tap shift-and-add convolution whose
-    taps are full-width VPU vector ops over the batch.
+    taps are full-width VPU vector ops over the batch (pad-and-sum form — XLA
+    fuses it without the dynamic-update-slice chains that wreck compile time).
     """
-    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    acc = jnp.zeros(batch + (2 * L - 1,), dtype=DTYPE)
+    nd = max(a.ndim, b.ndim)
+    a = a.reshape((1,) * (nd - a.ndim) + a.shape)
+    b = b.reshape((1,) * (nd - b.ndim) + b.shape)
+    parts = []
     for i in range(L):
-        acc = acc.at[..., i : i + L].add(a[..., i : i + 1] * b)
+        prod = a[..., i : i + 1] * b
+        parts.append(jnp.pad(prod, [(0, 0)] * (prod.ndim - 1) + [(i, L - 1 - i)]))
+    acc = sum(parts)                     # [..., 39]
     # fold coefficients 20..38: 2^(13k) = 2^(13(k-20)) * 2^260 == ... * 608
     top = acc[..., L:]
-    lo = top & MASK
-    hi = top >> W
     main = acc[..., :L]
-    main = main.at[..., 0 : L - 1].add(FOLD * lo)
-    main = main.at[..., 1:L].add(FOLD * hi)
-    return normalize_weak(main)
+    main = main.at[..., 0 : L - 1].add(FOLD * (top & MASK))
+    main = main.at[..., 1:L].add(FOLD * (top >> W))
+    return _relax(main, 5)
 
 
 @jax.jit

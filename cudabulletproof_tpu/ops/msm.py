@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from . import curve as C
 from . import field as F
+from . import pippenger
 
 
 @jax.jit
@@ -35,9 +36,9 @@ def msm(points: C.GE, scalars: jax.Array) -> C.GE:
     return C.tree_reduce(prods)
 
 
-def _pad_pow2(points: C.GE, scalars: jax.Array):
+def _pad_pow2(points: C.GE, scalars: jax.Array, pad_min: int = 1):
     n = scalars.shape[0]
-    m = 1
+    m = max(1, pad_min)
     while m < n:
         m *= 2
     if m == n:
@@ -48,11 +49,44 @@ def _pad_pow2(points: C.GE, scalars: jax.Array):
     return points, jnp.concatenate([scalars, pad_s], 0)
 
 
-def msm_ints(points: C.GE, scalars) -> C.GE:
-    """Host-glue MSM: python-int scalars (mod l), padded to a power of two."""
+@functools.partial(jax.jit, static_argnames=("w",))
+def msm_windowed(points: C.GE, scalars: jax.Array, w: int = 4) -> C.GE:
+    """Straus windowed multiexp with per-point digit tables.
+
+    Precompute T[d] = d*P_i (2^w - 1 batched adds), then process the scalar
+    w bits at a time from the top: acc = 2^w*acc + sum_i T[digit_i, i].
+    ~6x less point work than the bit ladder for w=4; the sweet spot for the
+    protocol's n <= few-hundred MSMs (Pippenger wins for large n).
+    """
+    n = points.x.shape[0]
+    nb = 1 << w
+    tab = [C.identity((n,))]
+    for _ in range(1, nb):
+        tab.append(C.add(tab[-1], points))
+    table = C.GE(*(jnp.stack([t[i] for t in tab]) for i in range(4)))
+    digits = pippenger.extract_digits(scalars, w)        # [nw, n]
+    nw = digits.shape[0]
+    lane = jnp.arange(n)
+
+    def body(j, acc):
+        for _ in range(w):
+            acc = C.double(acc)
+        dig = digits[nw - 1 - j]                         # [n]
+        sel = C.GE(*(c[dig, lane] for c in table))       # gather [n, L]
+        return C.add(acc, C.tree_reduce(sel))
+
+    return jax.lax.fori_loop(0, nw, body, C.identity(()))
+
+
+def msm_ints(points: C.GE, scalars, pad_min: int = 64) -> C.GE:
+    """Host-glue MSM: python-int scalars (mod l), padded to a power of two.
+
+    pad_min=64 keeps every protocol-level MSM at one of a tiny set of padded
+    shapes so the multiexp kernel compiles once per proof size (identity
+    padding is free correctness-wise; scalars pad with 0)."""
     sc = F.from_ints([s % F.P for s in scalars])  # scalars < l < p: exact
-    p, s = _pad_pow2(points, sc)
-    return msm(p, s)
+    p, s = _pad_pow2(points, sc, pad_min)
+    return msm_windowed(p, s)
 
 
 def concat_ge(*parts: C.GE) -> C.GE:

@@ -1,13 +1,24 @@
 """Test harness: force CPU backend with 8 virtual devices so multi-chip
 sharding paths (mesh/shard_map) are exercised without TPU hardware — this is
-the 'fake backend' test strategy SURVEY.md §4 calls for. Must run before jax
-is imported anywhere."""
+the 'fake backend' test strategy SURVEY.md §4 calls for.
+
+NOTE: this environment pins JAX_PLATFORMS=axon (the TPU tunnel) and the
+plugin overrides the env var, so platform selection must go through
+jax.config.update, before any backend is initialized.
+"""
 import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the limb-arithmetic graphs are large and identical
+# across test runs; caching makes reruns fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bp_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 

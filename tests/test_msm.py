@@ -1,0 +1,72 @@
+"""MSM kernels: ladder, Pippenger buckets, and sharded (8 virtual devices)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudabulletproof_tpu.ops import curve as C, field as F, msm as M, pippenger
+from cudabulletproof_tpu.parallel import mesh as mesh_lib
+from cudabulletproof_tpu.parallel.sharded_msm import msm_sharded
+from cudabulletproof_tpu.utils import oracle, scalars as S
+
+
+def setup_case(rng, n):
+    pts = [oracle.hash_to_point(b"mtest", 1000 + i) for i in range(n)]
+    sc = [rng.randrange(S.ELL) for _ in range(n)]
+    want = oracle.IDENTITY
+    for p, s in zip(pts, sc):
+        want = want + s * p
+    return C.from_oracle(pts), F.from_ints(sc), sc, want
+
+
+def test_extract_digits(rng):
+    sc = [rng.randrange(S.ELL) for _ in range(4)]
+    digits = pippenger.extract_digits(F.from_ints(sc), 8)
+    import numpy as np
+    d = np.asarray(digits)
+    for i, s in enumerate(sc):
+        got = sum(int(d[j, i]) << (8 * j) for j in range(d.shape[0]))
+        assert got == s
+
+
+@pytest.mark.parametrize("w", [4, 8])
+def test_pippenger_matches_oracle(rng, w):
+    pts, sc_dev, sc, want = setup_case(rng, 13)   # non-power-of-two n
+    got = C.to_oracle(pippenger.msm_pippenger(pts, sc_dev, w=w))[0]
+    assert got == want
+
+
+def test_pippenger_matches_ladder(rng):
+    pts, sc_dev, sc, want = setup_case(rng, 32)
+    a = pippenger.msm_pippenger(pts, sc_dev, w=8)
+    b = M.msm(pts, sc_dev)
+    assert bool(C.eq(a, b))
+    assert C.to_oracle(a)[0] == want
+
+
+def test_pippenger_edge_scalars(rng):
+    pts = C.from_oracle([oracle.hash_to_point(b"mtest", 5)] * 1)
+    base = C.to_oracle(pts)[0]
+    for s in [0, 1, 255, 256, (1 << 252), S.ELL - 1]:
+        got = C.to_oracle(pippenger.msm_pippenger(
+            C.GE(*(c[None] if c.ndim == 1 else c for c in pts)),
+            F.from_ints([s]), w=8))[0]
+        assert got == s * base, s
+
+
+def test_sharded_msm_matches(rng):
+    n = 32
+    pts, sc_dev, sc, want = setup_case(rng, n)
+    mesh = mesh_lib.make_mesh(8)
+    got = msm_sharded(pts, sc_dev, mesh=mesh, w=4)
+    assert C.to_oracle(got)[0] == want
+    # also with the ladder local path
+    got2 = msm_sharded(pts, sc_dev, mesh=mesh, w=0)
+    assert C.to_oracle(got2)[0] == want
+
+
+def test_sharded_msm_various_device_counts(rng):
+    pts, sc_dev, sc, want = setup_case(rng, 16)
+    for nd in [1, 2, 4]:
+        mesh = mesh_lib.make_mesh(nd)
+        got = msm_sharded(pts, sc_dev, mesh=mesh, w=4)
+        assert C.to_oracle(got)[0] == want, nd

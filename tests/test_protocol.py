@@ -1,0 +1,104 @@
+"""End-to-end protocol tests: the reference test contract and real soundness.
+
+Mirrors complete_bulletproof_test.cu:65-308 (value 42 in [0,2^16) proves and
+verifies; 65536 is rejected) and adds the cryptographic negative tests the
+reference lacks (tampered proofs must fail *verification*, SURVEY.md §8.5).
+"""
+import dataclasses
+import random
+
+import pytest
+
+from cudabulletproof_tpu.models import ipa, rangeproof as rp
+from cudabulletproof_tpu.models.generators import get_generators
+from cudabulletproof_tpu.models.transcript import Transcript
+from cudabulletproof_tpu.ops import curve as C, field as F, msm as M
+from cudabulletproof_tpu.utils import oracle, scalars as S
+
+N_BITS = 16
+
+
+@pytest.fixture(scope="module")
+def gens():
+    return get_generators(N_BITS)
+
+
+def test_msm_matches_oracle(rng):
+    pts = [oracle.hash_to_point(b"msm", i) for i in range(5)]
+    sc = [rng.randrange(S.ELL) for _ in range(5)]
+    got = C.to_oracle(M.msm_ints(C.from_oracle(pts), sc))[0]
+    want = oracle.IDENTITY
+    for p, s in zip(pts, sc):
+        want = want + s * p
+    assert got == want
+
+
+def test_ipa_roundtrip(gens, rng):
+    n = 8
+    G = C.GE(*(c[:n] for c in gens.G))
+    H = C.GE(*(c[:n] for c in gens.H))
+    Q = C.from_oracle([oracle.hash_to_point(b"Q", 7)])
+    a = [rng.randrange(S.ELL) for _ in range(n)]
+    b = [rng.randrange(S.ELL) for _ in range(n)]
+    c = S.vec_inner(a, b)
+    # P = <a,G> + <b,H> + c Q
+    P = M.msm_ints(M.concat_ge(G, H, Q), a + b + [c])
+    tr_p = Transcript(b"ipa-test")
+    proof = ipa.prove(G, H, Q, a, b, tr_p)
+    assert ipa.verify(G, H, Q, P, proof, Transcript(b"ipa-test"))
+    # wrong P (claiming a different inner product) fails
+    P_bad = M.msm_ints(M.concat_ge(G, H, Q), a + b + [(c + 1) % S.ELL])
+    assert not ipa.verify(G, H, Q, P_bad, proof, Transcript(b"ipa-test"))
+    # tampered a fails
+    bad = dataclasses.replace(proof, a=(proof.a + 1) % S.ELL)
+    assert not ipa.verify(G, H, Q, P, bad, Transcript(b"ipa-test"))
+
+
+def test_range_proof_contract_42(gens):
+    """The reference's golden-path test: value 42, 16-bit range."""
+    gamma = S.sc_random()
+    proof = rp.prove(42, gamma, N_BITS, gens)
+    assert rp.verify(proof, gens)
+
+
+def test_range_proof_rejects_out_of_range_at_prover(gens):
+    """Parity with the reference's negative test (complete_bulletproof_test.cu:
+    193-255): the prover refuses 65536 = 2^16."""
+    with pytest.raises(rp.ProveError):
+        rp.prove(1 << N_BITS, S.sc_random(), N_BITS, gens)
+    with pytest.raises(rp.ProveError):
+        rp.prove(-1, S.sc_random(), N_BITS, gens)
+
+
+def test_range_proof_edge_values(gens):
+    for v in [0, 1, (1 << N_BITS) - 1]:
+        proof = rp.prove(v, S.sc_random(), N_BITS, gens)
+        assert rp.verify(proof, gens), v
+
+
+def test_tampered_proofs_rejected(gens):
+    """Beyond the reference: verification soundness, not prover politeness."""
+    proof = rp.prove(42, S.sc_random(), N_BITS, gens)
+    # each scalar tamper must fail
+    for fld in ["taux", "mu", "t_hat"]:
+        bad = dataclasses.replace(proof, **{fld: (getattr(proof, fld) + 1) % S.ELL})
+        assert not rp.verify(bad, gens), fld
+    # point tampers: swap in a different valid point
+    other = bytes(C.to_oracle(rp.pedersen_commit(7, 9, gens))[0].compress())
+    for fld in ["V", "A", "S", "T1", "T2"]:
+        bad = dataclasses.replace(proof, **{fld: other})
+        assert not rp.verify(bad, gens), fld
+    # IPA tamper
+    bad_ip = dataclasses.replace(proof.ip, a=(proof.ip.a + 1) % S.ELL)
+    assert not rp.verify(dataclasses.replace(proof, ip=bad_ip), gens)
+    # garbage point encoding rejected
+    bad = dataclasses.replace(proof, A=b"\xff" * 32)
+    assert not rp.verify(bad, gens)
+
+
+def test_proof_not_malleable_across_values(gens):
+    """A proof for value v must not verify as a commitment to v' != v."""
+    gamma = S.sc_random()
+    proof = rp.prove(42, gamma, N_BITS, gens)
+    v_other = bytes(C.to_oracle(rp.pedersen_commit(43, gamma, gens))[0].compress())
+    assert not rp.verify(dataclasses.replace(proof, V=v_other), gens)
