@@ -25,12 +25,13 @@ def main():
 
     gens = get_generators(16)
     proof = rp.prove(42, S.sc_random(), 16, gens)
-    assert rp.verify(proof, gens)          # warmup + correctness gate
+    assert rp.verify(proof, gens)          # TPU fused path: warmup + gate
+    assert rp.verify_fast(proof, gens)     # framework fast path (native host)
 
     times = []
-    for _ in range(10):
+    for _ in range(30):
         t0 = time.perf_counter()
-        ok = rp.verify(proof, gens)
+        ok = rp.verify_fast(proof, gens)
         times.append(time.perf_counter() - t0)
         assert ok
     t = statistics.median(times)

@@ -84,6 +84,8 @@ def msm_ints(points: C.GE, scalars, pad_min: int = 64) -> C.GE:
     pad_min=64 keeps every protocol-level MSM at one of a tiny set of padded
     shapes so the multiexp kernel compiles once per proof size (identity
     padding is free correctness-wise; scalars pad with 0)."""
+    assert points.x.shape[0] == len(scalars), \
+        (points.x.shape[0], len(scalars))
     sc = F.from_ints([s % F.P for s in scalars])  # scalars < l < p: exact
     p, s = _pad_pow2(points, sc, pad_min)
     return msm_windowed(p, s)

@@ -13,11 +13,27 @@ static ge ge_scalarmult_sc(const ge& p, const sc& s) {
     return ge_scalarmult(p, b);
 }
 
+// Straus windowed multiexp, w=4: per-point 16-entry tables, 64 windows of
+// (4 doublings + one add per nonzero digit).  ~5-6x fewer point ops than
+// per-point double-and-add ladders for protocol-sized inputs.
 static ge msm(const std::vector<const ge*>& pts, const std::vector<sc>& scs) {
+    const size_t n = pts.size();
+    std::vector<ge> table(n * 16);
+    std::vector<uint8_t> sbytes(n * 32);
+    for (size_t i = 0; i < n; i++) {
+        table[i * 16] = ge_identity();
+        for (int d = 1; d < 16; d++)
+            table[i * 16 + d] = ge_add(table[i * 16 + d - 1], *pts[i]);
+        sc_to_bytes(&sbytes[i * 32], scs[i]);
+    }
     ge acc = ge_identity();
-    for (size_t i = 0; i < pts.size(); i++) {
-        if (sc_is_zero(scs[i])) continue;
-        acc = ge_add(acc, ge_scalarmult_sc(*pts[i], scs[i]));
+    for (int wnd = 63; wnd >= 0; wnd--) {
+        for (int k = 0; k < 4; k++) acc = ge_double(acc);
+        for (size_t i = 0; i < n; i++) {
+            const uint8_t byte = sbytes[i * 32 + (wnd >> 1)];
+            const int digit = (wnd & 1) ? (byte >> 4) : (byte & 0x0F);
+            if (digit) acc = ge_add(acc, table[i * 16 + digit]);
+        }
     }
     return acc;
 }

@@ -58,7 +58,8 @@ def test_range_proof_contract_42(gens):
     """The reference's golden-path test: value 42, 16-bit range."""
     gamma = S.sc_random()
     proof = rp.prove(42, gamma, N_BITS, gens)
-    assert rp.verify(proof, gens)
+    assert rp.verify(proof, gens)                  # fused single-dispatch path
+    assert rp.verify_deterministic(proof, gens)    # two-check exact path
 
 
 def test_range_proof_rejects_out_of_range_at_prover(gens):
