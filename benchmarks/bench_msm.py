@@ -63,6 +63,8 @@ def main():
     from cudabulletproof_tpu.ops import curve as C, field as F, msm as M
     from cudabulletproof_tpu.ops import pallas_field as PF, pippenger
 
+    from cudabulletproof_tpu.utils import profiling
+
     dev = jax.devices()[0]
     print(json.dumps({"device": str(dev), "backend": jax.default_backend()}))
 
@@ -74,8 +76,10 @@ def main():
     b = jnp.asarray(rngnp.randint(0, F.MASK + 1, size=(n, F.L), dtype=np.int32))
     t = timeit(F.mul, a, b, iters=20)
     emit("field_mul_jnp_throughput", n / t, "mul/s", batch=n, seconds=t)
+    print(profiling.field_mul_roofline(n / t).to_json())
     t = timeit(PF.mul, a, b, iters=20)
     emit("field_mul_pallas_throughput", n / t, "mul/s", batch=n, seconds=t)
+    print(profiling.field_mul_roofline(n / t).to_json())
     t = timeit(PF.inner_product, a, b, iters=20)
     emit("field_inner_product_pallas", n / t, "elem/s", batch=n, seconds=t)
 
@@ -93,6 +97,7 @@ def main():
         t = timeit(fn, pts, scalars, iters=3)
         emit(f"msm_points_per_sec_2e{nn.bit_length()-1}", nn / t, "points/s",
              n=nn, seconds=t, window=w)
+        print(profiling.msm_roofline(nn / t, nn, w).to_json())
         # self-consistency: split-half additivity
         half = nn // 2
         r_full = pippenger.msm_pippenger(pts, scalars, w=w)

@@ -74,11 +74,12 @@ def _fold_wide(acc):
         main, top = acc[:L], acc[L:]
         k = top.shape[0]
         wn = max(L, k + 1)
-        new = jnp.zeros((wn,) + acc.shape[1:], jnp.int32)
-        new = new.at[:L].add(main)
-        new = new.at[0:k].add(FOLD * (top & MASK))
-        new = new.at[1:k + 1].add(FOLD * (top >> W))
-        acc = new
+        if wn > L:
+            main = jnp.concatenate(
+                [main, jnp.zeros((wn - L,) + acc.shape[1:], jnp.int32)], axis=0)
+        main = main.at[0:k].add(FOLD * (top & MASK))
+        main = main.at[1:k + 1].add(FOLD * (top >> W))
+        acc = main
     return acc
 
 
@@ -105,7 +106,10 @@ def _add_kernel(a_ref, b_ref, o_ref):
 
 
 def _sub_kernel(a_ref, b_ref, o_ref):
-    k = jnp.asarray(F._K_NEG)[:, None]
+    # K = the additive complement from field.py, built from scalars in-kernel
+    # (Pallas kernels cannot capture array constants)
+    row = jax.lax.broadcasted_iota(jnp.int32, b_ref.shape, 0)
+    k = jnp.where(row == 0, int(F._K_NEG[0]), int(F._K_NEG[1]))
     o_ref[:, :] = _carry_relax(a_ref[:, :] + (k - b_ref[:, :]), 3)
 
 
