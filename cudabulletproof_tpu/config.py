@@ -1,0 +1,65 @@
+"""Runtime configuration (env-overridable), replacing the reference's
+compile-time #define flag system (SURVEY.md §5: BLOCK_SIZE/REDUCE_BLOCK_SIZE
+cuda_field_ops.cu:9, cuda_inner_product.cu:10, cuda_bulletproof_kernels.cu:8-9;
+MAX_SHARED_POINTS 64 kernels.cu:10; MAX_SHARED_ELEMENTS 512 inner_product.cu:12;
+MAX_BATCH_SIZE 4096 field_ops.cu:10; `int range_bits = 16`
+complete_bulletproof_test.cu:70 — all hardcoded, "No runtime flags at all").
+
+Every knob here is a genuine runtime knob: read once at import, overridable via
+environment (BP_<NAME>) or by assigning before first use.  Kernel-shape knobs
+(PALLAS_LANES) take effect per jit-compilation, so tests can sweep them.
+"""
+from __future__ import annotations
+
+import os
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(f"BP_{name}")
+    return int(v) if v else default
+
+
+def _env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(f"BP_{name}")
+    if v is None:
+        return default
+    return v not in ("", "0", "false", "False")
+
+
+# --- kernel shape knobs (analog of BLOCK_SIZE / REDUCE_BLOCK_SIZE) -----------
+# Pallas batch tile width (lanes). Multiple of 128 (one VREG row of lanes).
+PALLAS_LANES = _env_int("PALLAS_LANES", 256)
+
+# --- algorithm-selection thresholds (analog of MAX_SHARED_POINTS etc.) -------
+# MSMs below this size use the windowed (Straus) kernel; above, Pippenger.
+MSM_PIPPENGER_MIN = _env_int("MSM_PIPPENGER_MIN", 4096)
+# Default Pippenger window bits (digit width) when not chosen per-size.
+MSM_WINDOW = _env_int("MSM_WINDOW", 8)
+# Default Straus window bits.
+STRAUS_WINDOW = _env_int("STRAUS_WINDOW", 4)
+# verify_fast routes single proofs with n <= this to the native host path
+# (a single small proof is latency-bound host-scale work; see
+# models/rangeproof.py::verify_fast).
+NATIVE_VERIFY_MAX_BITS = _env_int("NATIVE_VERIFY_MAX_BITS", 64)
+
+# --- protocol defaults (analog of `int range_bits = 16`) ---------------------
+DEFAULT_RANGE_BITS = _env_int("DEFAULT_RANGE_BITS", 16)
+
+# --- observability (analog of the reference's always-on printf transcript) ---
+# BP_TRACE=1 prints the step-by-step protocol transcript (utils/debug.py).
+TRACE = _env_flag("TRACE", False)
+
+
+def msm_window_for(n: int) -> int:
+    """Pick the Pippenger window width for an n-point MSM.
+
+    Cost model (per window: ~2n segmented-scan adds + 3*2^w bucket adds;
+    ceil(253/w) windows): minimize (253/w) * (2n + 3*2^w)."""
+    if os.environ.get("BP_MSM_WINDOW"):
+        return MSM_WINDOW
+    best_w, best_c = 4, float("inf")
+    for w in range(4, 14):
+        c = -(-253 // w) * (2 * n + 3 * (1 << w))
+        if c < best_c:
+            best_w, best_c = w, c
+    return best_w

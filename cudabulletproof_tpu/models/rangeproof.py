@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import curve as C, field as F, msm as M
-from ..utils import scalars as S
+from ..utils import debug, scalars as S
 from . import ipa
 from .generators import Generators, get_generators
 from .transcript import Transcript
@@ -117,10 +117,12 @@ def prove(value: int, blinding: int, n: int,
     H = C.GE(*(c[:n] for c in gens.H))
 
     tr = _base_transcript(n)
+    debug.banner("PROOF GENERATION STEPS")   # cu:1169 banner parity
 
     # V = g^v h^gamma  (cu:1194)
     V_pt = pedersen_commit(value, blinding, gens)
     V = _compress(V_pt)
+    debug.trace_point("V", V)
 
     # bit decomposition: aL[i] = bit i of value; aR = aL - 1  (cu:1197-1240)
     aL = [(value >> i) & 1 for i in range(n)]
@@ -139,6 +141,10 @@ def prove(value: int, blinding: int, n: int,
     tr.append_point(b"S", S_b)
     y = tr.challenge(DOMAIN_Y)          # cu:1299 / bulletproof_challenge.cu:24-44
     z = tr.challenge(DOMAIN_Z)          # cu:1311 / bulletproof_challenge.cu:47-58
+    debug.trace_point("A", A)
+    debug.trace_point("S", S_b)
+    debug.trace_scalar("y", y)
+    debug.trace_scalar("z", z)
 
     y_n = S.vec_powers(y, n)
     two_n = S.vec_powers(2, n)
@@ -164,6 +170,7 @@ def prove(value: int, blinding: int, n: int,
     tr.append_point(b"T1", T1)
     tr.append_point(b"T2", T2)
     x = tr.challenge(DOMAIN_X)          # cu:1454-1473
+    debug.trace_scalar("x", x)
 
     # t, taux, mu  (cu:1475-1511)
     l_vec = [(a + b * x) % S.ELL for a, b in zip(l0, l1)]
@@ -177,6 +184,9 @@ def prove(value: int, blinding: int, n: int,
     tr.append_scalar(b"mu", mu)
     tr.append_scalar(b"t", t_hat)
     w = tr.challenge(DOMAIN_Q)
+    debug.trace_scalar("t_hat", t_hat)
+    debug.trace_scalar("taux", taux)
+    debug.trace_scalar("mu", mu)
 
     # IPA over (G, H') with H'_i = y^{-i} H_i and Q = w*g, both kept implicit
     # as host-side weights (cu:1662-1690 materializes H'; we never do)
@@ -262,6 +272,7 @@ def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
     H = C.GE(*(c[:n] for c in gens.H))
 
     tr = _base_transcript(n)
+    debug.banner("PROOF VERIFICATION (fused)")
     tr.append_point(b"V", proof.V)
     tr.append_point(b"A", proof.A)
     tr.append_point(b"S", proof.S)
@@ -274,6 +285,9 @@ def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
     tr.append_scalar(b"mu", proof.mu)
     tr.append_scalar(b"t", proof.t_hat)
     w = tr.challenge(DOMAIN_Q)
+    debug.trace_scalar("y", y)
+    debug.trace_scalar("z", z)
+    debug.trace_scalar("x", x)
     us = ipa.challenges_from_transcript(proof.ip, tr)
     s, s_inv = ipa.fold_scalars(us, n)
 

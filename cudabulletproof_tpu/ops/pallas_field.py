@@ -69,27 +69,36 @@ def _carry_relax(t, passes: int):
 
 def _fold_wide(acc):
     """[m, ...] conv coefficients (limbs on axis 0) -> [20, ...];
-    coefficient at position 20+j folds to j (lo*608) and j+1 (hi*608)."""
+    coefficient at position 20+j folds to j (lo*608) and j+1 (hi*608).
+
+    Pad-and-sum formulation: Mosaic has no scatter-add lowering, so strided
+    `.at[i:j].add` is expressed as zero-padded full-tensor adds (pads lower
+    to sublane concats, which Mosaic supports)."""
     while acc.shape[0] > L:
         main, top = acc[:L], acc[L:]
         k = top.shape[0]
         wn = max(L, k + 1)
-        if wn > L:
-            main = jnp.concatenate(
-                [main, jnp.zeros((wn - L,) + acc.shape[1:], jnp.int32)], axis=0)
-        main = main.at[0:k].add(FOLD * (top & MASK))
-        main = main.at[1:k + 1].add(FOLD * (top >> W))
-        acc = main
+        rest = tuple([(0, 0)] * (acc.ndim - 1))
+        lo = FOLD * (top & MASK)     # contributes at rows 0..k-1
+        hi = FOLD * (top >> W)       # contributes at rows 1..k
+        acc = (jnp.pad(main, ((0, wn - L),) + rest)
+               + jnp.pad(lo, ((0, wn - k),) + rest)
+               + jnp.pad(hi, ((1, wn - k - 1),) + rest))
     return acc
+
+
+def _conv(a, b):
+    """Raw 39-coefficient convolution, pad-and-sum form (no scatter)."""
+    parts = []
+    for i in range(L):
+        prod = a[i, :][None, :] * b                    # [20, T]
+        parts.append(jnp.pad(prod, ((i, L - 1 - i), (0, 0))))
+    return sum(parts)                                  # [39, T]
 
 
 def _conv_fold(a, b):
     """[20, T] x [20, T] -> [20, T] weakly-normalized product."""
-    T = a.shape[1]
-    acc = jnp.zeros((2 * L - 1, T), dtype=jnp.int32)
-    for i in range(L):
-        acc = acc.at[i:i + L].add(a[i, :][None, :] * b)
-    return _carry_relax(_fold_wide(acc), 5)
+    return _carry_relax(_fold_wide(_conv(a, b)), 5)
 
 
 def _mul_kernel(a_ref, b_ref, o_ref):
@@ -170,16 +179,17 @@ def _inner_product_kernel(a_ref, b_ref, o_ref):
 
     a = a_ref[:, :]
     b = b_ref[:, :]
-    T = a.shape[1]
-    acc = jnp.zeros((2 * L - 1, T), dtype=jnp.int32)
-    for i in range(L):
-        acc = acc.at[i:i + L].add(a[i, :][None, :] * b)
+    acc = _conv(a, b)
     # per-lane coefficients < 1.35e9; split before the lane reduction:
     lo_sum = jnp.sum(acc & MASK, axis=1, keepdims=True)    # < 2^13 * 256 = 2^21
     hi_sum = jnp.sum(acc >> W, axis=1, keepdims=True)      # < 2^18 * 256 = 2^26
+    # accumulate into column (step % 128) / (128 + step % 128) via one-hot
+    # masks (Mosaic forbids dynamic lane offsets; a masked full-width add is
+    # the idiomatic TPU scatter-to-one-lane)
     col = step % 128
-    o_ref[:, pl.ds(col, 1)] += lo_sum
-    o_ref[:, pl.ds(128 + col, 1)] += hi_sum
+    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * L - 1, 256), 1)
+    o_ref[:, :] += jnp.where(lane == col, lo_sum, 0) + \
+        jnp.where(lane == 128 + col, hi_sum, 0)
 
 
 @jax.jit
@@ -217,3 +227,63 @@ def inner_product(a, b):
     t = t.at[2:2 * L + 1, 0].add(h1)
     folded = _fold_wide(t)[:, 0]                 # [20]
     return F.normalize_weak(folded[None])[0]
+
+
+def _inner_product_batched_kernel(a_ref, b_ref, o_ref):
+    """One (batch-row, tile) program; accumulates into that row's partials."""
+    step = pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[:, :, :] = jnp.zeros_like(o_ref)
+
+    a = a_ref[0]
+    b = b_ref[0]
+    acc = _conv(a, b)
+    lo_sum = jnp.sum(acc & MASK, axis=1, keepdims=True)
+    hi_sum = jnp.sum(acc >> W, axis=1, keepdims=True)
+    col = step % 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (2 * L - 1, 256), 1)
+    o_ref[0, :, :] += jnp.where(lane == col, lo_sum, 0) + \
+        jnp.where(lane == 128 + col, hi_sum, 0)
+
+
+@jax.jit
+def inner_product_batched(a, b):
+    """Batch of inner products: [B, n, 20] x [B, n, 20] -> [B, 20] (weak).
+
+    Reference parity: batch_inner_product_kernel + wrapper
+    cuda_batch_field_vector_inner_product (cuda_inner_product.cu:219-348),
+    whose 2-D grid (blockIdx.y = batch) becomes grid=(B, tiles)."""
+    B, n = a.shape[0], a.shape[1]
+    assert n <= (1 << 17)
+    nt = max(1, -(-n // LANES))
+    npad = nt * LANES
+    if npad != n:
+        pad = [(0, 0), (0, npad - n), (0, 0)]
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+    at = jnp.swapaxes(a, 1, 2)      # [B, 20, npad]
+    bt = jnp.swapaxes(b, 1, 2)
+    partial = pl.pallas_call(
+        _inner_product_batched_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 2 * L - 1, 256), jnp.int32),
+        grid=(B, nt),
+        in_specs=[pl.BlockSpec((1, L, LANES), lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((1, 2 * L - 1, 256), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(at, bt)
+    s_lo, s_hi = partial[:, :, :128], partial[:, :, 128:]
+    s0 = jnp.sum(s_lo, axis=2)                   # [B, 39]
+    h0 = jnp.sum(s_hi & MASK, axis=2)
+    h1 = jnp.sum(s_hi >> W, axis=2)
+    m = 2 * L + 1
+    t = jnp.zeros((B, m), dtype=jnp.int32)
+    t = t.at[:, 0:2 * L - 1].add(s0)
+    t = t.at[:, 1:2 * L].add(h0)
+    t = t.at[:, 2:2 * L + 1].add(h1)
+    # fold coefficients >= L back down (transpose to reuse _fold_wide)
+    folded = _fold_wide(t.T).T                   # [B, 20]
+    return F.normalize_weak(folded)
