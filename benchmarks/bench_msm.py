@@ -93,10 +93,12 @@ def main():
     if args.sizes:
         sizes = [int(s) for s in args.sizes.split(",")]
 
+    from cudabulletproof_tpu import config
+
     for nn in sizes:
         pts, scalars = make_points(nn)
         jax.block_until_ready(pts.x)
-        w = 8 if nn >= (1 << 14) else 4
+        w = config.msm_window_for(nn)
         fn = lambda p, s: pippenger.msm_pippenger(p, s, w=w)
         t = timeit(fn, pts, scalars, iters=3)
         emit(f"msm_points_per_sec_2e{nn.bit_length()-1}", nn / t, "points/s",
@@ -122,6 +124,26 @@ def main():
     emit("range_prove_16bit_latency", t, "s")
     t = timeit(lambda: rp.verify(proof, gens) and None or 0, iters=5)
     emit("range_verify_16bit_latency", t, "s")
+    t = timeit(lambda: rp.verify_fast(proof, gens) and None or 0, iters=10)
+    emit("range_verify_fast_16bit_latency", t, "s",
+         vs_baseline=round(0.015660 / t, 2))
+    t = timeit(lambda: rp.prove_fast(42, 12345, 16, gens) and None or 0, iters=10)
+    emit("range_prove_fast_16bit_latency", t, "s")
+
+    # --- aggregated + batched verification (BASELINE config 5 workloads) ---
+    from cudabulletproof_tpu.models import aggregate as agg
+    m = 16
+    gens_agg = get_generators(16 * m)
+    aproof = agg.prove([v * 37 % 65536 for v in range(m)],
+                       [S.sc_random() for _ in range(m)], 16, gens_agg)
+    assert agg.verify(aproof, gens_agg)
+    t = timeit(lambda: agg.verify(aproof, gens_agg) and None or 0, iters=3)
+    emit("aggregated_verify_m16_n16_latency", t, "s", N=16 * m)
+    proofs = [rp.prove(v, S.sc_random(), 16, gens) for v in (1, 7, 42, 65535)]
+    assert agg.batch_verify(proofs, gens)
+    t = timeit(lambda: agg.batch_verify(proofs, gens) and None or 0, iters=3)
+    emit("batch_verify_4_proofs_latency", t, "s",
+         per_proof=round(t / 4, 6))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,13 @@ def _env_flag(name: str, default: bool = False) -> bool:
 # Pallas batch tile width (lanes). Multiple of 128 (one VREG row of lanes).
 PALLAS_LANES = _env_int("PALLAS_LANES", 256)
 
+# Route batched curve ops through the fused Pallas kernels on TPU (measured
+# ~200x over XLA for inlined add chains, which XLA recompute-fuses).
+PALLAS_CURVE = _env_flag("PALLAS_CURVE", True)
+# Minimum flattened batch size for the Pallas point path (below this the
+# 256-lane tile padding outweighs the fusion win).
+PALLAS_CURVE_MIN = _env_int("PALLAS_CURVE_MIN", 32)
+
 # --- algorithm-selection thresholds (analog of MAX_SHARED_POINTS etc.) -------
 # MSMs below this size use the windowed (Straus) kernel; above, Pippenger.
 MSM_PIPPENGER_MIN = _env_int("MSM_PIPPENGER_MIN", 4096)
@@ -37,6 +44,10 @@ MSM_PIPPENGER_MIN = _env_int("MSM_PIPPENGER_MIN", 4096)
 MSM_WINDOW = _env_int("MSM_WINDOW", 8)
 # Default Straus window bits.
 STRAUS_WINDOW = _env_int("STRAUS_WINDOW", 4)
+# MSMs larger than this are processed in chunks of this size (one compiled
+# bucket-MSM program reused per chunk; giant single programs wedge the
+# remote-compile path and gain nothing — the work is compute-bound).
+MSM_CHUNK = _env_int("MSM_CHUNK", 1 << 16)
 # verify_fast routes single proofs with n <= this to the native host path
 # (a single small proof is latency-bound host-scale work; see
 # models/rangeproof.py::verify_fast).

@@ -246,7 +246,7 @@ def _fused_verify_fn(n: int):
                            for bc, ic in zip(bases, idn)))
             scalars = jnp.concatenate(
                 [scalars, jnp.zeros((pad - m, F.L), F.DTYPE)], axis=0)
-        res = M.msm_windowed(bases, scalars)
+        res = M.msm_auto(bases, scalars)
         return jnp.logical_and(jnp.all(valid), C.is_identity(res))
 
     return fn
@@ -324,6 +324,29 @@ def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
         [np.frombuffer(x_, dtype=np.uint8) for x_ in blobs]))
     fn = _fused_verify_fn(n)
     return bool(fn(pts_bytes, scalars, G, H, gens.g, gens.h))
+
+
+def prove_fast(value: int, blinding: int, n: int,
+               gens: Generators | None = None) -> RangeProof:
+    """Latency-optimized proving entry point (mirror of verify_fast).
+
+    A single small proof is a handful of ~100-point MSMs interleaved with
+    host Fiat-Shamir hashing — a dozen host<->device round trips whose sync
+    latency dwarfs the compute.  The native C++ path (identical wire format,
+    transcript and generators; cross-verified in tests/test_native.py) proves
+    it in ~2 ms; the TPU path serves large aggregated proofs where the MSMs
+    are big enough to pay for the trips."""
+    from ..utils import native, serialization
+    from .. import config
+    # all Generators instances use the single deterministic derivation the
+    # native library reproduces, so routing never changes the statement
+    if n <= config.NATIVE_VERIFY_MAX_BITS and native.available():
+        if not validate_range_input(value, n):
+            raise ProveError(f"value out of range [0, 2^{n})")
+        blob = native.prove_range(value, blinding % S.ELL, n)
+        if blob:
+            return serialization.deserialize_range_proof(blob)
+    return prove(value, blinding, n, gens)
 
 
 def verify_fast(proof: RangeProof, gens: Generators | None = None) -> bool:

@@ -51,6 +51,14 @@ def identity(shape=()) -> GE:
     return GE(F.zeros(shape), F.ones(shape), F.ones(shape), F.zeros(shape))
 
 
+def identity_like(p: GE) -> GE:
+    """Identity points with p's batch shape, *derived from p's data* — inside
+    shard_map, loop carries must be 'varying' on the mesh axes, and constants
+    built by identity() are not (scan carry type mismatch otherwise)."""
+    z = p.x * 0
+    return GE(z, z.at[..., 0].set(1), z.at[..., 0].set(1), z)
+
+
 def base_point(shape=()) -> GE:
     return from_oracle([oracle.BASE]) if shape == () else _broadcast(
         from_oracle([oracle.BASE]), shape)
@@ -86,11 +94,34 @@ def to_oracle(p: GE):
 
 
 # --- group law ---------------------------------------------------------------
-@jax.jit
-def add(p: GE, q: GE) -> GE:
-    """Unified extended add (add-2008-hwcd-3 for a=-1); also valid for
-    doubling and identity operands. Reference: ge25519_add
-    (curve25519_ops.cu:326-378) which bakes the same k=2d constant."""
+def _pallas_route(*batch_shapes) -> bool:
+    """True when the batched Pallas point path should serve this op (TPU
+    backend, batch large enough to fill lanes). Decided at trace time from
+    static shapes."""
+    from .. import config
+    if not config.PALLAS_CURVE or jax.default_backend() != "tpu":
+        return False
+    batch = jnp.broadcast_shapes(*batch_shapes)
+    n = 1
+    for d in batch:
+        n *= d
+    return n >= config.PALLAS_CURVE_MIN
+
+
+def _via_pallas(fn2, p: GE, q: GE | None) -> GE:
+    """Broadcast+flatten batch dims, run a [n]-batched pallas point op,
+    restore the batch shape."""
+    from . import pallas_curve as PC
+    shapes = [p.batch_shape] + ([q.batch_shape] if q is not None else [])
+    batch = jnp.broadcast_shapes(*shapes)
+    flat = lambda g: GE(*(jnp.broadcast_to(
+        c, batch + (F.L,)).reshape(-1, F.L) for c in g))
+    out = fn2(flat(p), flat(q)) if q is not None else fn2(flat(p))
+    return GE(*(c.reshape(batch + (F.L,)) for c in out))
+
+
+def add_xla(p: GE, q: GE) -> GE:
+    """The pure-XLA unified add (used on CPU and for tiny batches)."""
     a = F.mul(F.sub(p.y, p.x), F.sub(q.y, q.x))
     b = F.mul(F.add(p.y, p.x), F.add(q.y, q.x))
     c = F.mul(F.mul(p.t, _D2), q.t)
@@ -103,9 +134,28 @@ def add(p: GE, q: GE) -> GE:
 
 
 @jax.jit
+def add(p: GE, q: GE) -> GE:
+    """Unified extended add (add-2008-hwcd-3 for a=-1); also valid for
+    doubling and identity operands. Reference: ge25519_add
+    (curve25519_ops.cu:326-378) which bakes the same k=2d constant.
+
+    On TPU, batched adds dispatch to the fused Pallas kernel
+    (ops/pallas_curve.py): the whole 9-mul straight-line program runs
+    VMEM-resident, which measures ~200x faster than the XLA composition in
+    chained contexts (XLA recompute-fuses long int32 chains)."""
+    if _pallas_route(p.batch_shape, q.batch_shape):
+        from . import pallas_curve as PC
+        return _via_pallas(PC.add_raw, p, q)
+    return add_xla(p, q)
+
+
+@jax.jit
 def double(p: GE) -> GE:
     """Reference: ge25519_double (curve25519_ops.cu:560-563) also reuses add."""
-    return add(p, p)
+    if _pallas_route(p.batch_shape):
+        from . import pallas_curve as PC
+        return _via_pallas(PC.double_raw, p, None)
+    return add_xla(p, p)
 
 
 @jax.jit
@@ -134,15 +184,21 @@ def scalarmult(p: GE, s: jax.Array) -> GE:
 
     `s` is an int32 limb array [..., 20] (radix 2^13) holding scalars < 2^253.
     Reference: ge25519_scalarmult (curve25519_ops.cu:397-415), whose
-    data-dependent branch becomes a select.
-    """
+    data-dependent branch becomes a select.  On TPU, batched ladders dispatch
+    to the VMEM-resident fused Pallas ladder (ops/pallas_curve.py)."""
     batch = jnp.broadcast_shapes(p.batch_shape, s.shape[:-1])
-    acc = identity(batch)
     pb = _broadcast(p, batch) if p.batch_shape != batch else p
+    sb = jnp.broadcast_to(s, batch + (F.L,))
+    if _pallas_route(batch):
+        from . import pallas_curve as PC
+        flat = GE(*(c.reshape(-1, F.L) for c in pb))
+        out = PC.scalarmult_raw(flat, sb.reshape(-1, F.L))
+        return GE(*(c.reshape(batch + (F.L,)) for c in out))
+    acc = identity_like(pb)
 
     def body(i, acc):
         k = SC_BITS - 1 - i
-        bit = (jnp.take(s, k // F.W, axis=-1) >> (k % F.W)) & 1
+        bit = (jnp.take(sb, k // F.W, axis=-1) >> (k % F.W)) & 1
         acc = double(acc)
         return select(bit, add(acc, pb), acc)
 

@@ -158,15 +158,22 @@ def sub(a: jax.Array, b: jax.Array) -> jax.Array:
     return _relax(a + (k - b), 2)
 
 
-@jax.jit
-def mul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Schoolbook convolution + top-limb fold; exact in int32.
+def _pallas_route(*shapes) -> bool:
+    """Dispatch batched field ops to the Pallas kernels on TPU (the XLA
+    composition recompute-fuses long int32 chains — e.g. the 254-step Fermat
+    ladders — with a measured ~2 orders of magnitude slowdown)."""
+    from .. import config
+    if not config.PALLAS_CURVE or jax.default_backend() != "tpu":
+        return False
+    batch = jnp.broadcast_shapes(*shapes)
+    n = 1
+    for d in batch:
+        n *= d
+    return n >= config.PALLAS_CURVE_MIN
 
-    Reference parity: fe25519_mul (curve25519_ops.cu:93-146). The reference's
-    4x64 __uint128_t schoolbook becomes a 20-tap shift-and-add convolution whose
-    taps are full-width VPU vector ops over the batch (pad-and-sum form — XLA
-    fuses it without the dynamic-update-slice chains that wreck compile time).
-    """
+
+def mul_xla(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pure-XLA schoolbook convolution (CPU path / tiny batches)."""
     nd = max(a.ndim, b.ndim)
     a = a.reshape((1,) * (nd - a.ndim) + a.shape)
     b = b.reshape((1,) * (nd - b.ndim) + b.shape)
@@ -184,9 +191,30 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Schoolbook convolution + top-limb fold; exact in int32.
+
+    Reference parity: fe25519_mul (curve25519_ops.cu:93-146). The reference's
+    4x64 __uint128_t schoolbook becomes a 20-tap shift-and-add convolution whose
+    taps are full-width VPU vector ops over the batch.  Batched TPU calls
+    dispatch to the [limb, lane] Pallas kernel (ops/pallas_field.py).
+    """
+    if _pallas_route(a.shape[:-1], b.shape[:-1]):
+        from . import pallas_field as PF
+        batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        af = jnp.broadcast_to(a, batch + (L,)).reshape(-1, L)
+        bf = jnp.broadcast_to(b, batch + (L,)).reshape(-1, L)
+        return PF.mul_raw(af, bf).reshape(batch + (L,))
+    return mul_xla(a, b)
+
+
+@jax.jit
 def sq(a: jax.Array) -> jax.Array:
     """Reference parity: fe25519_sq (curve25519_ops.cu:149-153)."""
-    return mul(a, a)
+    if _pallas_route(a.shape[:-1]):
+        from . import pallas_field as PF
+        return PF.sq_raw(a.reshape(-1, L)).reshape(a.shape)
+    return mul_xla(a, a)
 
 
 def sqn(a: jax.Array, n: int) -> jax.Array:
@@ -224,7 +252,14 @@ def invert(z: jax.Array) -> jax.Array:
     which truncates the chain and self-multiplies at cu:195); every fuzzy
     comparison in the reference exists to paper over that bug, so correctness
     here is what lets the TPU verifier use exact point equality.
-    """
+
+    On TPU the whole chain is one VMEM-resident Pallas dispatch (any batch
+    size: a 265-op chain always beats per-op dispatch)."""
+    if jax.default_backend() == "tpu":
+        from .. import config
+        if config.PALLAS_CURVE:
+            from . import pallas_field as PF
+            return PF.invert_raw(z.reshape(-1, L)).reshape(z.shape)
     z_250_0, _, z11 = _pow_chain_250(z)
     return mul(sqn(z_250_0, 5), z11)         # 2^255 - 32 + 11 = 2^255 - 21
 
@@ -235,6 +270,11 @@ def pow2523(z: jax.Array) -> jax.Array:
 
     Reference parity: fe25519_pow2523 (curve25519_ops.cu:269-315).
     """
+    if jax.default_backend() == "tpu":
+        from .. import config
+        if config.PALLAS_CURVE:
+            from . import pallas_field as PF
+            return PF.pow2523_raw(z.reshape(-1, L)).reshape(z.shape)
     z_250_0, _, _ = _pow_chain_250(z)
     return mul(sqn(z_250_0, 2), z)           # 2^252 - 4 + 1 = 2^252 - 3
 

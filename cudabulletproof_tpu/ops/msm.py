@@ -75,7 +75,45 @@ def msm_windowed(points: C.GE, scalars: jax.Array, w: int = 4) -> C.GE:
         sel = C.GE(*(c[dig, lane] for c in table))       # gather [n, L]
         return C.add(acc, C.tree_reduce(sel))
 
-    return jax.lax.fori_loop(0, nw, body, C.identity(()))
+    # identity derived from varying data: required under shard_map
+    init = C.identity_like(C.GE(*(c[0] for c in points)))
+    return jax.lax.fori_loop(0, nw, body, init)
+
+
+def msm_auto(points: C.GE, scalars: jax.Array) -> C.GE:
+    """Size-routed MSM (crossovers measured on TPU v5e, bench_msm.py):
+
+      n <= 1024 on TPU  -> fused-ladder Pallas MSM (2 dispatches; dispatch
+                           count dominates at protocol sizes)
+      n <  PIPPENGER_MIN -> Straus windowed
+      else               -> bucket-method Pippenger, cost-model window
+    """
+    from .. import config
+    n = scalars.shape[0]
+    if (n <= 1024 and config.PALLAS_CURVE
+            and jax.default_backend() == "tpu"):
+        from . import pallas_curve as PC
+        return PC.msm(points, scalars)
+    if n > config.MSM_CHUNK:
+        # chunked: reuse ONE compiled bucket-MSM program per chunk and fold
+        # the partial points (compute-bound, so chunking costs nothing; a
+        # single 2^20-scale program is hostile to compile time/memory)
+        ck = config.MSM_CHUNK
+        w = config.msm_window_for(ck)
+        parts = []
+        for off in range(0, n, ck):
+            end = min(off + ck, n)
+            p = C.GE(*(c[off:end] for c in points))
+            s = scalars[off:end]
+            if end - off < ck:
+                p, s = _pad_pow2(p, s, pad_min=ck)
+            parts.append(pippenger.msm_pippenger(p, s, w=w))
+        stacked = C.GE(*(jnp.stack([pt[i] for pt in parts]) for i in range(4)))
+        return C.tree_reduce(stacked)
+    if n >= config.MSM_PIPPENGER_MIN:
+        return pippenger.msm_pippenger(points, scalars,
+                                       w=config.msm_window_for(n))
+    return msm_windowed(points, scalars, w=config.STRAUS_WINDOW)
 
 
 def msm_ints(points: C.GE, scalars, pad_min: int = 64) -> C.GE:
@@ -88,7 +126,7 @@ def msm_ints(points: C.GE, scalars, pad_min: int = 64) -> C.GE:
         (points.x.shape[0], len(scalars))
     sc = F.from_ints([s % F.P for s in scalars])  # scalars < l < p: exact
     p, s = _pad_pow2(points, sc, pad_min)
-    return msm_windowed(p, s)
+    return msm_auto(p, s)
 
 
 def concat_ge(*parts: C.GE) -> C.GE:

@@ -42,8 +42,9 @@ W = F.W
 SC_BITS = C.SC_BITS
 
 # 2d curve constant as static python limbs (kernels cannot capture array
-# constants; rebuilt in-kernel from these ints)
-_D2_LIMBS = tuple(int(v) for v in jax.device_get(F.from_int(oracle.D2)))
+# constants; rebuilt in-kernel from these ints). Pure-python on purpose:
+# this module may be imported lazily inside a jit trace.
+_D2_LIMBS = tuple((oracle.D2 >> (W * i)) & MASK for i in range(L))
 _KNEG0, _KNEG1 = int(F._K_NEG[0]), int(F._K_NEG[1])
 
 
@@ -208,21 +209,22 @@ def _run_pointwise(kernel, arity, *flats):
     return out.T[:n]
 
 
-@jax.jit
-def add(p: C.GE, q: C.GE) -> C.GE:
-    """Batched fused unified add: GE [n] x GE [n] -> GE [n]."""
+def add_raw(p: C.GE, q: C.GE) -> C.GE:
+    """Fused unified add on GE [n] (un-jitted: inlined by callers)."""
     out = _run_pointwise(_add_kernel, 2, _flatten(p), _flatten(q))
     return _unflatten(out)
 
 
-@jax.jit
-def double(p: C.GE) -> C.GE:
+def double_raw(p: C.GE) -> C.GE:
     out = _run_pointwise(_double_kernel, 1, _flatten(p))
     return _unflatten(out)
 
 
-@jax.jit
-def scalarmult(p: C.GE, s: jax.Array) -> C.GE:
+add = jax.jit(add_raw)
+double = jax.jit(double_raw)
+
+
+def scalarmult_raw(p: C.GE, s: jax.Array) -> C.GE:
     """Batched fused ladder: GE [n], scalars [n, 20] -> GE [n]."""
     n = s.shape[0]
     nt = max(1, -(-n // LANES))
@@ -242,6 +244,9 @@ def scalarmult(p: C.GE, s: jax.Array) -> C.GE:
         interpret=PF._interpret(),
     )(pt, st)
     return _unflatten(out.T[:n])
+
+
+scalarmult = jax.jit(scalarmult_raw)
 
 
 def tree_reduce(p: C.GE) -> C.GE:

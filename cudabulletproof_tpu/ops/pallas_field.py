@@ -148,24 +148,82 @@ def _run_elementwise(kernel, arity, *args):
     return out.T[:n]
 
 
-@jax.jit
-def mul(a, b):
+def mul_raw(a, b):
     return _run_elementwise(_mul_kernel, 2, a, b)
 
 
-@jax.jit
-def add(a, b):
+def add_raw(a, b):
     return _run_elementwise(_add_kernel, 2, a, b)
 
 
-@jax.jit
-def sub(a, b):
+def sub_raw(a, b):
     return _run_elementwise(_sub_kernel, 2, a, b)
 
 
-@jax.jit
-def sq(a):
+def sq_raw(a):
     return _run_elementwise(_sq_kernel, 1, a)
+
+
+mul = jax.jit(mul_raw)
+add = jax.jit(add_raw)
+sub = jax.jit(sub_raw)
+sq = jax.jit(sq_raw)
+
+
+# --- fused Fermat-chain kernels (invert / pow2523) ---------------------------
+def _sqn_block(x, n: int):
+    """x^(2^n) on a [20, T] block (fori_loop keeps the Mosaic program small)."""
+    if n <= 4:
+        for _ in range(n):
+            x = _conv_fold(x, x)
+        return x
+    return jax.lax.fori_loop(0, n, lambda _, v: _conv_fold(v, v), x)
+
+
+def _pow_chain_250_block(z):
+    """Shared Fermat-ladder prefix on a [20, T] block (mirrors
+    field._pow_chain_250; one VMEM-resident dispatch for the whole chain)."""
+    z2 = _conv_fold(z, z)
+    z8 = _sqn_block(z2, 2)
+    z9 = _conv_fold(z, z8)
+    z11 = _conv_fold(z2, z9)
+    z22 = _conv_fold(z11, z11)
+    z_5_0 = _conv_fold(z9, z22)
+    z_10_0 = _conv_fold(_sqn_block(z_5_0, 5), z_5_0)
+    z_20_0 = _conv_fold(_sqn_block(z_10_0, 10), z_10_0)
+    z_40_0 = _conv_fold(_sqn_block(z_20_0, 20), z_20_0)
+    z_50_0 = _conv_fold(_sqn_block(z_40_0, 10), z_10_0)
+    z_100_0 = _conv_fold(_sqn_block(z_50_0, 50), z_50_0)
+    z_200_0 = _conv_fold(_sqn_block(z_100_0, 100), z_100_0)
+    z_250_0 = _conv_fold(_sqn_block(z_200_0, 50), z_50_0)
+    return z_250_0, z11
+
+
+def _invert_kernel(a_ref, o_ref):
+    """Complete z^(p-2) chain, VMEM-resident (replaces ~265 chained XLA muls;
+    reference's fe25519_invert is broken, curve25519_ops.cu:157-207)."""
+    z = a_ref[:, :]
+    z_250_0, z11 = _pow_chain_250_block(z)
+    o_ref[:, :] = _conv_fold(_sqn_block(z_250_0, 5), z11)
+
+
+def _pow2523_kernel(a_ref, o_ref):
+    """z^(2^252 - 3) chain (decompression square roots), VMEM-resident."""
+    z = a_ref[:, :]
+    z_250_0, _ = _pow_chain_250_block(z)
+    o_ref[:, :] = _conv_fold(_sqn_block(z_250_0, 2), z)
+
+
+def invert_raw(a):
+    return _run_elementwise(_invert_kernel, 1, a)
+
+
+def pow2523_raw(a):
+    return _run_elementwise(_pow2523_kernel, 1, a)
+
+
+invert = jax.jit(invert_raw)
+pow2523 = jax.jit(pow2523_raw)
 
 
 def _inner_product_kernel(a_ref, b_ref, o_ref):

@@ -104,4 +104,6 @@ def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
         acc = jax.lax.fori_loop(0, w, lambda _, a: C.double(a), acc)
         return C.add(acc, C.GE(*(c[idx] for c in window_sums)))
 
-    return jax.lax.fori_loop(0, nw, horner, C.identity(()))
+    # identity derived from varying data: required under shard_map
+    init = C.identity_like(C.GE(*(c[0] for c in window_sums)))
+    return jax.lax.fori_loop(0, nw, horner, init)

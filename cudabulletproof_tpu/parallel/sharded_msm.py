@@ -47,5 +47,8 @@ def msm_sharded(points: C.GE, scalars: jax.Array, *, mesh: Mesh,
         in_specs=(C.GE(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
                   P(axis, None)),
         out_specs=C.GE(P(None), P(None), P(None), P(None)),
+        # the result IS replicated (all_gather + identical local fold on every
+        # device), but VMA inference can't see through the gathered fold
+        check_vma=False,
     )
     return fn(points, scalars)

@@ -103,3 +103,42 @@ def test_proof_not_malleable_across_values(gens):
     proof = rp.prove(42, gamma, N_BITS, gens)
     v_other = bytes(C.to_oracle(rp.pedersen_commit(43, gamma, gens))[0].compress())
     assert not rp.verify(dataclasses.replace(proof, V=v_other), gens)
+
+
+def test_prove_fast_roundtrip(gens):
+    """prove_fast (native route) produces proofs every verifier accepts."""
+    proof = rp.prove_fast(42, S.sc_random(), N_BITS, gens)
+    assert rp.verify(proof, gens)
+    assert rp.verify_fast(proof, gens)
+    assert rp.verify_deterministic(proof, gens)
+    with pytest.raises(rp.ProveError):
+        rp.prove_fast(1 << N_BITS, S.sc_random(), N_BITS, gens)
+
+
+def test_wire_bitflip_fuzz(gens, rng):
+    """Any single bit flip in the serialized proof must be rejected —
+    either by the parser or by verification (never accepted)."""
+    from cudabulletproof_tpu.utils import serialization as ser
+    proof = rp.prove(42, S.sc_random(), N_BITS, gens)
+    blob = ser.serialize_range_proof(proof)
+    assert rp.verify(ser.deserialize_range_proof(blob), gens)
+    for _ in range(12):
+        pos = rng.randrange(len(blob) * 8)
+        mutated = bytearray(blob)
+        mutated[pos // 8] ^= 1 << (pos % 8)
+        try:
+            bad = ser.deserialize_range_proof(bytes(mutated))
+        except ValueError:
+            continue        # parser rejected (e.g. length fields)
+        assert not rp.verify(bad, gens), f"accepted bit flip at {pos}"
+
+
+def test_wire_truncation_rejected(gens):
+    from cudabulletproof_tpu.utils import serialization as ser
+    proof = rp.prove(5, S.sc_random(), N_BITS, gens)
+    blob = ser.serialize_range_proof(proof)
+    for cut in [0, 1, 4, len(blob) // 2, len(blob) - 1]:
+        with pytest.raises(ValueError):
+            ser.deserialize_range_proof(blob[:cut])
+        with pytest.raises(ValueError):
+            ser.deserialize_range_proof(blob + b"\x00")
