@@ -98,17 +98,17 @@ def main():
     for nn in sizes:
         pts, scalars = make_points(nn)
         jax.block_until_ready(pts.x)
-        w = config.msm_window_for(nn)
-        fn = lambda p, s: pippenger.msm_pippenger(p, s, w=w)
+        w = config.msm_window_for(min(nn, config.MSM_CHUNK))
+        fn = M.msm_auto          # size-routed: chunked Pippenger above MSM_CHUNK
         t = timeit(fn, pts, scalars, iters=3)
         emit(f"msm_points_per_sec_2e{nn.bit_length()-1}", nn / t, "points/s",
              n=nn, seconds=t, window=w)
         print(profiling.msm_roofline(nn / t, nn, w).to_json())
         # self-consistency: split-half additivity
         half = nn // 2
-        r_full = pippenger.msm_pippenger(pts, scalars, w=w)
-        r_a = pippenger.msm_pippenger(C.GE(*(c[:half] for c in pts)), scalars[:half], w=w)
-        r_b = pippenger.msm_pippenger(C.GE(*(c[half:] for c in pts)), scalars[half:], w=w)
+        r_full = fn(pts, scalars)
+        r_a = fn(C.GE(*(c[:half] for c in pts)), scalars[:half])
+        r_b = fn(C.GE(*(c[half:] for c in pts)), scalars[half:])
         ok = bool(C.eq(r_full, C.add(r_a, r_b)))
         print(json.dumps({"check": f"msm_split_half_2e{nn.bit_length()-1}", "ok": ok}))
         assert ok

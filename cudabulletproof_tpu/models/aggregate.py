@@ -154,6 +154,9 @@ def _delta_agg(y: int, z: int, n: int, m: int) -> int:
 
 
 def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
+    """Aggregated verification: both checks merged into ONE MSM via a random
+    linear combination (as rangeproof.verify does for single proofs) with a
+    single batched decompression — one device dispatch chain in total."""
     n, m = proof.n, proof.m
     if n < 1 or m < 1 or n & (n - 1) != 0 or m & (m - 1) != 0:
         return False
@@ -167,7 +170,10 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
     H = C.GE(*(c[:N] for c in gens.H))
 
     from .rangeproof import _decompress_all
-    pts, ok = _decompress_all(list(proof.V) + [proof.A, proof.S, proof.T1, proof.T2])
+    k = len(proof.ip.L)
+    pts, ok = _decompress_all(list(proof.V)
+                              + [proof.A, proof.S, proof.T1, proof.T2]
+                              + list(proof.ip.L) + list(proof.ip.R))
     if not ok:
         return False
     V_pts = C.GE(*(c[:m] for c in pts))
@@ -175,6 +181,8 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
     S_pt = C.GE(*(c[m + 1] for c in pts))
     T1_pt = C.GE(*(c[m + 2] for c in pts))
     T2_pt = C.GE(*(c[m + 3] for c in pts))
+    L_pts = C.GE(*(c[m + 4:m + 4 + k] for c in pts))
+    R_pts = C.GE(*(c[m + 4 + k:m + 4 + 2 * k] for c in pts))
 
     tr = _base_transcript(n, m)
     for j, vb in enumerate(proof.V):
@@ -197,40 +205,42 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
     delta = _delta_agg(y, z, n, m)
     t_hat = proof.t_hat % S.ELL
 
-    # check 1: (t_hat - delta) g + taux h - sum_j z^(2+j) V_j - x T1 - x^2 T2 == 0
-    sc1 = ([(t_hat - delta) % S.ELL, proof.taux % S.ELL]
-           + [(S.ELL - z2 * zj % S.ELL) % S.ELL for zj in z_pows]
-           + [(S.ELL - x) % S.ELL, (S.ELL - x2) % S.ELL])
-    res1 = M.msm_ints(M.concat_ge(gens.g, gens.h, V_pts, T1_pt, T2_pt), sc1)
-    if not bool(C.is_identity(res1)):
-        return False
+    # random weights merging check 1 (polynomial identity) and check 2
+    # (P-reconstruction + one-shot IPA); soundness error 1/l
+    r1 = secrets.randbelow(S.ELL - 1) + 1
+    r2 = secrets.randbelow(S.ELL - 1) + 1
 
-    # check 2: merged P + one-shot IPA
     us = ipa.challenges_from_transcript(proof.ip, tr)
     s, s_inv = ipa.fold_scalars(us, N)
     a, b = proof.ip.a % S.ELL, proof.ip.b % S.ELL
     y_inv = S.sc_inv(y)
     y_inv_pows = S.vec_powers(y_inv, N)
 
-    g_sc = [(a * si + z) % S.ELL for si in s]
+    g_sc = [r2 * ((a * si + z) % S.ELL) % S.ELL for si in s]
     h_sc = []
     for i in range(N):
         j = i // n
         zz = z2 * z_pows[j] % S.ELL
         coeff = (b * s_inv[i] % S.ELL * y_inv_pows[i]
                  - z - zz * (1 << (i % n)) % S.ELL * y_inv_pows[i]) % S.ELL
-        h_sc.append(coeff)
-    gq_sc = (a * b - t_hat) % S.ELL * w % S.ELL
-    sc2 = (g_sc + h_sc + [gq_sc, proof.mu % S.ELL, S.ELL - 1, (S.ELL - x) % S.ELL]
-           + [(S.ELL - u * u % S.ELL) % S.ELL for u in us]
-           + [(S.ELL - pow(S.sc_inv(u), 2, S.ELL)) % S.ELL for u in us])
-    L_pts, okl = ipa.decompress_proof_points(proof.ip.L)
-    R_pts, okr = ipa.decompress_proof_points(proof.ip.R)
-    if not (okl and okr):
-        return False
-    bases = M.concat_ge(G, H, gens.g, gens.h, A_pt, S_pt, L_pts, R_pts)
-    res2 = M.msm_ints(bases, sc2)
-    return bool(C.is_identity(res2))
+        h_sc.append(r2 * coeff % S.ELL)
+    sc_g = (r1 * ((t_hat - delta) % S.ELL)
+            + r2 * ((a * b - t_hat) % S.ELL * w % S.ELL)) % S.ELL
+    sc_h = (r1 * proof.taux + r2 * proof.mu) % S.ELL
+    sc_v = [(S.ELL - r1 * (z2 * zj % S.ELL) % S.ELL) % S.ELL for zj in z_pows]
+    sc = (g_sc + h_sc + [sc_g, sc_h]
+          + sc_v
+          + [(S.ELL - r1 * x % S.ELL) % S.ELL,
+             (S.ELL - r1 * x2 % S.ELL) % S.ELL,
+             (S.ELL - r2) % S.ELL,
+             (S.ELL - r2 * x % S.ELL) % S.ELL]
+          + [(S.ELL - r2 * (u * u % S.ELL) % S.ELL) % S.ELL for u in us]
+          + [(S.ELL - r2 * pow(S.sc_inv(u), 2, S.ELL) % S.ELL) % S.ELL
+             for u in us])
+    bases = M.concat_ge(G, H, gens.g, gens.h, V_pts, T1_pt, T2_pt,
+                        A_pt, S_pt, L_pts, R_pts)
+    res = M.msm_ints(bases, sc)
+    return bool(C.is_identity(res))
 
 
 def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
@@ -247,19 +257,28 @@ def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
 
     from .rangeproof import (_decompress_all, _base_transcript as single_tr,
                              compute_delta)
+    k = n.bit_length() - 1
+    blobs = []
+    for proof in proofs:
+        if proof.ip.n != n or (1 << len(proof.ip.L)) != n:
+            return False
+        blobs += [proof.V, proof.A, proof.S, proof.T1, proof.T2]
+        blobs += list(proof.ip.L) + list(proof.ip.R)
+    # ONE batched decompression for every point of every proof
+    all_pts, ok = _decompress_all(blobs)
+    if not ok:
+        return False
+    stride = 5 + 2 * k
+
     g_acc = [0] * n
     h_acc = [0] * n
     g_single = 0
     h_single = 0
-    extra_pts = []      # per-proof points (V, A, S, T1, T2, L..., R...)
+    extra_idx = []      # indices into all_pts (avoid per-proof device slicing)
     extra_sc = []
 
-    for proof in proofs:
-        if proof.ip.n != n or (1 << len(proof.ip.L)) != n:
-            return False
-        pts, ok = _decompress_all([proof.V, proof.A, proof.S, proof.T1, proof.T2])
-        if not ok:
-            return False
+    for pi, proof in enumerate(proofs):
+        base = pi * stride
         tr = single_tr(n)
         tr.append_point(b"V", proof.V)
         tr.append_point(b"A", proof.A)
@@ -287,19 +306,10 @@ def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
         r1 = secrets.randbelow(S.ELL - 1) + 1    # weight for check 1
         r2 = secrets.randbelow(S.ELL - 1) + 1    # weight for check 2
 
-        # check 1 contributions
+        # check 1 contributions (V=base+0, A=+1, S=+2, T1=+3, T2=+4)
         g_single = (g_single + r1 * ((t_hat - delta) % S.ELL)) % S.ELL
         h_single = (h_single + r1 * proof.taux) % S.ELL
-        L_pts, okl = ipa.decompress_proof_points(proof.ip.L)
-        R_pts, okr = ipa.decompress_proof_points(proof.ip.R)
-        if not (okl and okr):
-            return False
-        V_pt = C.GE(*(c[0] for c in pts))
-        A_pt = C.GE(*(c[1] for c in pts))
-        S_pt = C.GE(*(c[2] for c in pts))
-        T1_pt = C.GE(*(c[3] for c in pts))
-        T2_pt = C.GE(*(c[4] for c in pts))
-        extra_pts.extend([V_pt, T1_pt, T2_pt])
+        extra_idx.extend([base + 0, base + 3, base + 4])
         extra_sc.extend([(S.ELL - r1 * z2 % S.ELL) % S.ELL,
                          (S.ELL - r1 * x % S.ELL) % S.ELL,
                          (S.ELL - r1 * x2 % S.ELL) % S.ELL])
@@ -312,15 +322,17 @@ def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
             h_acc[i] = (h_acc[i] + r2 * coeff) % S.ELL
         g_single = (g_single + r2 * ((a * b - t_hat) % S.ELL * w % S.ELL)) % S.ELL
         h_single = (h_single + r2 * proof.mu) % S.ELL
-        extra_pts.extend([A_pt, S_pt])
+        extra_idx.extend([base + 1, base + 2])
         extra_sc.extend([(S.ELL - r2) % S.ELL, (S.ELL - r2 * x % S.ELL) % S.ELL])
         for j, u in enumerate(us):
-            extra_pts.append(C.GE(*(c[j] for c in L_pts)))
+            extra_idx.append(base + 5 + j)
             extra_sc.append((S.ELL - r2 * (u * u % S.ELL) % S.ELL) % S.ELL)
-            extra_pts.append(C.GE(*(c[j] for c in R_pts)))
+            extra_idx.append(base + 5 + k + j)
             extra_sc.append((S.ELL - r2 * pow(S.sc_inv(u), 2, S.ELL) % S.ELL) % S.ELL)
 
-    stacked = C.GE(*(jnp.stack([p[i] for p in extra_pts]) for i in range(4)))
+    # ONE gather assembles every per-proof point in MSM base order
+    idx = jnp.asarray(extra_idx)
+    stacked = C.GE(*(c[idx] for c in all_pts))
     bases = M.concat_ge(G, H, gens.g, gens.h, stacked)
     sc = g_acc + h_acc + [g_single, h_single] + extra_sc
     res = M.msm_ints(bases, sc)
