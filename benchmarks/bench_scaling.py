@@ -22,12 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1 << 14)
+    # defaults are sized for REAL multi-chip hardware; on the CPU-mesh
+    # fallback pass e.g. --n 512 --w 4 (XLA CPU compiles of the sharded
+    # bucket program are minutes-per-config on small hosts)
+    ap.add_argument("--n", type=int, default=1 << 16)
     ap.add_argument("--devices", type=int, default=0,
                     help="mesh size (default: all available)")
     ap.add_argument("--cpu", action="store_true",
                     help="force an 8-virtual-device CPU mesh")
     ap.add_argument("--w", type=int, default=8)
+    ap.add_argument("--meshes", type=str, default="",
+                    help="comma-separated mesh sizes (default 1,2,4,8)")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +44,7 @@ def main():
         os.execvpe(sys.executable, [
             sys.executable, os.path.abspath(__file__),
             "--n", str(args.n), "--w", str(args.w), "--cpu",
+            *(["--meshes", args.meshes] if args.meshes else []),
             *(["--devices", str(args.devices)] if args.devices else []),
         ], {**os.environ,
             "XLA_FLAGS": flags + " --xla_force_host_platform_device_count=8",
@@ -72,7 +78,10 @@ def main():
         return statistics.median(ts)
 
     results = {}
-    sizes = [d for d in (1, 2, 4, 8, nd) if d <= nd]
+    if args.meshes:
+        sizes = [int(x) for x in args.meshes.split(",") if x]
+    else:
+        sizes = [d for d in (1, 2, 4, 8, nd) if d <= nd]
     for d in sorted(set(sizes)):
         mesh = mesh_lib.make_mesh(d)
         t = timeit(lambda p, s: msm_sharded(p, s, mesh=mesh, w=args.w), pts, ks)

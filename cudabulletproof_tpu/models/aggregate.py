@@ -25,7 +25,7 @@ from ..utils import scalars as S
 from . import ipa
 from .generators import Generators, get_generators
 from .rangeproof import (DOMAIN_Q, DOMAIN_X, DOMAIN_Y, DOMAIN_Z, ProveError,
-                         RangeProof, _compress, validate_range_input)
+                         RangeProof, validate_range_input)
 from .transcript import Transcript
 
 
@@ -66,10 +66,10 @@ def prove(values, blindings, n: int, gens: Generators | None = None) -> Aggregat
     H = C.GE(*(c[:N] for c in gens.H))
 
     tr = _base_transcript(n, m)
-    V_list = []
-    for v, gamma in zip(values, blindings):
-        V_pt = M.msm_ints(M.concat_ge(gens.g, gens.h), [v % S.ELL, gamma % S.ELL])
-        V_list.append(_compress(V_pt))
+    # all m value commitments in ONE fused multi-MSM dispatch
+    V_list = M.msm_ints_multi(
+        M.concat_ge(gens.g, gens.h),
+        [[v % S.ELL, gamma % S.ELL] for v, gamma in zip(values, blindings)])
     for j, vb in enumerate(V_list):
         tr.append_point(b"V%d" % j, vb)
 
@@ -81,9 +81,8 @@ def prove(values, blindings, n: int, gens: Generators | None = None) -> Aggregat
     sR = [S.sc_random() for _ in range(N)]
     alpha, rho = S.sc_random(), S.sc_random()
 
-    A_pt = M.msm_ints(M.concat_ge(gens.h, G, H), [alpha] + aL + aR)
-    S_pt = M.msm_ints(M.concat_ge(gens.h, G, H), [rho] + sL + sR)
-    A_b, S_b = _compress(A_pt), _compress(S_pt)
+    A_b, S_b = M.msm_ints_multi(M.concat_ge(gens.h, G, H),
+                                [[alpha] + aL + aR, [rho] + sL + sR])
     tr.append_point(b"A", A_b)
     tr.append_point(b"S", S_b)
     y = tr.challenge(DOMAIN_Y)
@@ -107,9 +106,8 @@ def prove(values, blindings, n: int, gens: Generators | None = None) -> Aggregat
     t1 = (S.vec_inner(S.vec_add(l0, l1), S.vec_add(r0, r1)) - t0 - t2) % S.ELL
 
     tau1, tau2 = S.sc_random(), S.sc_random()
-    T1_pt = M.msm_ints(M.concat_ge(gens.g, gens.h), [t1, tau1])
-    T2_pt = M.msm_ints(M.concat_ge(gens.g, gens.h), [t2, tau2])
-    T1_b, T2_b = _compress(T1_pt), _compress(T2_pt)
+    T1_b, T2_b = M.msm_ints_multi(M.concat_ge(gens.g, gens.h),
+                                  [[t1, tau1], [t2, tau2]])
     tr.append_point(b"T1", T1_b)
     tr.append_point(b"T2", T2_b)
     x = tr.challenge(DOMAIN_X)

@@ -47,12 +47,6 @@ class InnerProductProof:
     b: int
 
 
-def _compress_pair(l_pt: C.GE, r_pt: C.GE):
-    pair = C.GE(*(jnp.stack([x, y]) for x, y in zip(l_pt, r_pt)))
-    both = np.asarray(C.to_bytes_batch(pair))
-    return bytes(both[0].tolist()), bytes(both[1].tolist())
-
-
 def prove(G: C.GE, H: C.GE, Q: C.GE, a, b, transcript: Transcript,
           q_weight: int = 1, h_weights=None) -> InnerProductProof:
     """a, b: python ints (mod l); G/H: device GE [n]; Q: GE (unbatched)."""
@@ -80,9 +74,10 @@ def prove(G: C.GE, H: C.GE, Q: C.GE, a, b, transcript: Transcript,
               for k in range(n)]
         hr = [b_L[own[k] - h] * wH[k] % S.ELL if own[k] >= h else 0
               for k in range(n)]
-        L_pt = M.msm_ints(bases, gl + hl + [c_L * q_weight % S.ELL])
-        R_pt = M.msm_ints(bases, gr + hr + [c_R * q_weight % S.ELL])
-        L_b, R_b = _compress_pair(L_pt, R_pt)
+        # L and R: one fused dual-MSM + compression dispatch per round
+        L_b, R_b = M.msm_ints_multi(
+            bases, [gl + hl + [c_L * q_weight % S.ELL],
+                    gr + hr + [c_R * q_weight % S.ELL]])
         transcript.append_point(b"ipL", L_b)
         transcript.append_point(b"ipR", R_b)
         u = transcript.challenge(IPA_DOMAIN)

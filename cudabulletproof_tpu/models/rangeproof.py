@@ -119,9 +119,9 @@ def prove(value: int, blinding: int, n: int,
     tr = _base_transcript(n)
     debug.banner("PROOF GENERATION STEPS")   # cu:1169 banner parity
 
-    # V = g^v h^gamma  (cu:1194)
-    V_pt = pedersen_commit(value, blinding, gens)
-    V = _compress(V_pt)
+    # V = g^v h^gamma  (cu:1194) — fused MSM+compression, one device trip
+    V, = M.msm_ints_multi(M.concat_ge(gens.g, gens.h),
+                          [[value % S.ELL, blinding % S.ELL]])
     debug.trace_point("V", V)
 
     # bit decomposition: aL[i] = bit i of value; aR = aL - 1  (cu:1197-1240)
@@ -131,10 +131,9 @@ def prove(value: int, blinding: int, n: int,
     sR = [S.sc_random() for _ in range(n)]
     alpha, rho = S.sc_random(), S.sc_random()
 
-    # A = h^alpha G^aL H^aR ; S = h^rho G^sL H^sR  (cu:1267-1289)
-    A_pt = M.msm_ints(M.concat_ge(gens.h, G, H), [alpha] + aL + aR)
-    S_pt = M.msm_ints(M.concat_ge(gens.h, G, H), [rho] + sL + sR)
-    A, S_b = _compress(A_pt), _compress(S_pt)
+    # A = h^alpha G^aL H^aR ; S = h^rho G^sL H^sR  (cu:1267-1289) — one trip
+    A, S_b = M.msm_ints_multi(M.concat_ge(gens.h, G, H),
+                              [[alpha] + aL + aR, [rho] + sL + sR])
 
     tr.append_point(b"V", V)
     tr.append_point(b"A", A)
@@ -163,9 +162,9 @@ def prove(value: int, blinding: int, n: int,
     t1 = (S.vec_inner(S.vec_add(l0, l1), S.vec_add(r0, r1)) - t0 - t2) % S.ELL
 
     tau1, tau2 = S.sc_random(), S.sc_random()
-    T1_pt = pedersen_commit(t1, tau1, gens)     # cu:1434-1452
-    T2_pt = pedersen_commit(t2, tau2, gens)
-    T1, T2 = _compress(T1_pt), _compress(T2_pt)
+    # T1, T2 Pedersen commitments (cu:1434-1452) — one fused device trip
+    T1, T2 = M.msm_ints_multi(M.concat_ge(gens.g, gens.h),
+                              [[t1, tau1 % S.ELL], [t2, tau2 % S.ELL]])
 
     tr.append_point(b"T1", T1)
     tr.append_point(b"T2", T2)

@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import curve as C
 from . import field as F
@@ -127,6 +128,50 @@ def msm_ints(points: C.GE, scalars, pad_min: int = 64) -> C.GE:
     sc = F.from_ints([s % F.P for s in scalars])  # scalars < l < p: exact
     p, s = _pad_pow2(points, sc, pad_min)
     return msm_auto(p, s)
+
+
+@jax.jit
+def msm_multi_compressed(points: C.GE, scalars: jax.Array) -> jax.Array:
+    """B MSMs over the SAME bases in one dispatch, returning compressed bytes.
+
+    points: GE [m]; scalars: [B, m, 20] -> uint8 [B, 32].
+
+    This is the prover's round-trip killer: the protocol emits points in
+    pairs/groups (A&S, T1&T2, each IPA round's L&R) interleaved with host
+    Fiat-Shamir hashing; computing each group as one fused
+    multi-MSM-plus-compression costs ONE device sync instead of ~3 (the
+    tunnel's ~30 ms sync floor dominates small-proof proving)."""
+    B, m = scalars.shape[0], scalars.shape[1]
+    pb = C.GE(*(jnp.broadcast_to(c, (B, m, F.L)) for c in points))
+    prods = C.scalarmult(pb, scalars)            # GE [B, m]
+    acc = prods
+    while m > 1:
+        half = m // 2
+        lo = C.GE(*(c[:, :half] for c in acc))
+        hi = C.GE(*(c[:, half:] for c in acc))
+        acc = C.add(lo, hi)
+        m = half
+    one = C.GE(*(c[:, 0] for c in acc))          # GE [B]
+    return C.to_bytes_batch(one)
+
+
+def msm_ints_multi(points: C.GE, scalar_lists, pad_min: int = 64):
+    """Host glue: k python-int scalar lists over shared bases -> k compressed
+    points (bytes), ONE device round trip."""
+    m = points.x.shape[0]
+    assert all(len(s) == m for s in scalar_lists)
+    mm = max(1, pad_min)
+    while mm < m:
+        mm *= 2
+    pts = points
+    if mm != m:
+        pad_p = C.identity((mm - m,))
+        pts = C.GE(*(jnp.concatenate([a, b], 0) for a, b in zip(points, pad_p)))
+    sc = jnp.stack([
+        F.from_ints([s % F.P for s in sl] + [0] * (mm - m))
+        for sl in scalar_lists])
+    out = np.asarray(msm_multi_compressed(pts, sc))
+    return [bytes(row.tolist()) for row in out]
 
 
 def concat_ge(*parts: C.GE) -> C.GE:

@@ -7,6 +7,17 @@ plugin overrides the env var, so platform selection must go through
 jax.config.update, before any backend is initialized.
 """
 import os
+import resource
+
+# XLA's CPU compiler overflows the default 8 MiB main-thread stack on the
+# deepest limb-arithmetic graphs (observed: segfault inside
+# backend_compile_and_load compiling the windowed MSM). Raise the soft limit
+# to the hard limit before any compile runs.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -63,6 +63,19 @@ def test_msm_auto_routes_both_paths(rng, monkeypatch):
     assert C.to_oracle(M.msm_auto(pts, sc_dev))[0] == want      # bucket path
 
 
+def test_msm_ints_multi_matches_oracle(rng):
+    # the prover's fused multi-MSM+compression path (one dispatch, B results)
+    n = 5
+    pts = [oracle.hash_to_point(b"mtest", 2000 + i) for i in range(n)]
+    lists = [[rng.randrange(S.ELL) for _ in range(n)] for _ in range(3)]
+    got = M.msm_ints_multi(C.from_oracle(pts), lists, pad_min=8)
+    for sl, gb in zip(lists, got):
+        want = oracle.IDENTITY
+        for p, s in zip(pts, sl):
+            want = want + s * p
+        assert gb == want.compress()
+
+
 def test_sharded_msm_matches(rng):
     # one mesh size (8 = the driver's dryrun config); each extra (mesh, w)
     # combination costs minutes of single-core SPMD compile here
