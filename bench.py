@@ -17,8 +17,12 @@ BASELINE_VERIFY_S = 0.015660  # CUDA path, BASELINE.md
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_bp_bench"))
+    # opt-in persistent cache only: through the tunneled TPU backend the
+    # cache's executable serialization ~doubles compile time and never hits
+    # cross-process (measured 2026-08-17; see NOTES.md)
+    cache = os.environ.get("BP_COMPILE_CACHE", "")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
     from cudabulletproof_tpu.models import rangeproof as rp
     from cudabulletproof_tpu.models.generators import get_generators
     from cudabulletproof_tpu.utils import scalars as S

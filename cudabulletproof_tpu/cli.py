@@ -115,9 +115,29 @@ def field_microbench(count: int = 10_000) -> None:
         print(f"Batch field {name:6s}: {t:.6f} s  ({count / t:,.0f} op/s)")
 
 
+def _setup_compile_cache():
+    """Opt-in persistent XLA compile cache (BP_COMPILE_CACHE=<dir>).
+
+    Off by default: with the tunneled TPU backend here, executable
+    serialization through the cache measurably SLOWS first-call compiles
+    (~211 s vs ~100 s for the 16-bit prover) and never hits cross-process.
+    On a directly-attached TPU or CPU it behaves normally — opt in there."""
+    import os
+    path = os.environ.get("BP_COMPILE_CACHE", "")
+    if not path:
+        return
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     from . import config
 
+    _setup_compile_cache()
     ap = argparse.ArgumentParser(prog="cudabulletproof_tpu",
                                  description=__doc__.splitlines()[0])
     ap.add_argument("--benchmark", action="store_true",
