@@ -44,6 +44,11 @@ MSM_PIPPENGER_MIN = _env_int("MSM_PIPPENGER_MIN", 4096)
 MSM_WINDOW = _env_int("MSM_WINDOW", 8)
 # Default Straus window bits.
 STRAUS_WINDOW = _env_int("STRAUS_WINDOW", 4)
+# Batch all Pippenger windows into one vmapped program instead of lax.map'ing
+# them sequentially. Measured ~10% SLOWER on v5e at n=2^16 (0.348 s vs
+# 0.318 s): scan overhead scales with data volume, and the nw-times-larger
+# working set hurts HBM locality. Kept as a flag for future A/Bs.
+MSM_VMAP_WINDOWS = _env_flag("MSM_VMAP_WINDOWS", False)
 # MSMs larger than this are processed in chunks of this size (one compiled
 # bucket-MSM program reused per chunk; giant single programs wedge the
 # remote-compile path and gain nothing — the work is compute-bound).

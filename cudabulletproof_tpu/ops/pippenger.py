@@ -94,8 +94,16 @@ def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
     rebuilt as a scaling bucket kernel instead of per-point ladders.
     """
     digits = extract_digits(scalars, w)          # [nw, n]
-    window_sums = jax.lax.map(
-        lambda d: _bucket_window(points, d, w), digits)   # GE [nw]
+    from .. import config
+    if config.MSM_VMAP_WINDOWS:
+        # all windows in one batched program: the sort and the segmented scan
+        # are O(n) with a large per-stage dispatch overhead, which batching
+        # over the window axis amortizes ~nw-fold
+        window_sums = jax.vmap(
+            lambda d: _bucket_window(points, d, w))(digits)  # GE [nw]
+    else:
+        window_sums = jax.lax.map(
+            lambda d: _bucket_window(points, d, w), digits)   # GE [nw]
 
     nw = num_windows(w)
 
