@@ -49,6 +49,12 @@ STRAUS_WINDOW = _env_int("STRAUS_WINDOW", 4)
 # 0.318 s): scan overhead scales with data volume, and the nw-times-larger
 # working set hurts HBM locality. Kept as a flag for future A/Bs.
 MSM_VMAP_WINDOWS = _env_flag("MSM_VMAP_WINDOWS", False)
+# Partition points by digit with a 2-pass one-hot radix rank instead of XLA's
+# comparison argsort (the sort is ~35% of Pippenger window time at 2^16).
+MSM_RADIX_SORT = _env_flag("MSM_RADIX_SORT", False)
+# Sub-key width per radix pass (one-hot cumsum traffic scales with 2^bits
+# per pass; passes scale with w/bits).
+MSM_RADIX_BITS = _env_int("MSM_RADIX_BITS", 5)
 # MSMs larger than this are processed in chunks of this size (one compiled
 # bucket-MSM program reused per chunk; giant single programs wedge the
 # remote-compile path and gain nothing — the work is compute-bound).

@@ -53,6 +53,37 @@ def extract_digits(scalars: jax.Array, w: int) -> jax.Array:
     return jnp.stack(outs, axis=0)
 
 
+def _radix_argsort(digits: jax.Array, w: int) -> jax.Array:
+    """Stable argsort of w-bit keys via LSD counting-sort passes.
+
+    Each pass ranks by a MSM_RADIX_BITS-wide sub-key with a [n, radix]
+    one-hot cumsum (bandwidth-bound, no comparison network) — an A/B
+    alternative to XLA's comparison sort for the bucket partition
+    (config.MSM_RADIX_SORT)."""
+    from .. import config
+    n = digits.shape[0]
+    pass_bits = config.MSM_RADIX_BITS
+
+    def one_pass(keys: jax.Array, bits: int, order: jax.Array) -> jax.Array:
+        nb = 1 << bits
+        k = keys[order]
+        onehot = (k[:, None] == jnp.arange(nb, dtype=k.dtype)[None, :])
+        within = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+        counts = within[-1]                          # [nb]
+        starts = jnp.cumsum(counts) - counts         # exclusive prefix
+        rank = starts[k] + jnp.take_along_axis(
+            within, k[:, None], axis=1)[:, 0] - 1
+        return jnp.zeros((n,), order.dtype).at[rank].set(order)
+
+    order = jnp.arange(n, dtype=jnp.int32)
+    shift = 0
+    while shift < w:
+        bits = min(pass_bits, w - shift)
+        order = one_pass((digits >> shift) & ((1 << bits) - 1), bits, order)
+        shift += bits
+    return order
+
+
 def _seg_combine(left, right):
     """Segmented-scan monoid over (point, head_flag)."""
     (pv, pf) = left
@@ -64,9 +95,13 @@ def _seg_combine(left, right):
 
 def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
     """Bucket-accumulate one window; returns the window's weighted sum."""
+    from .. import config
     n = digits.shape[0]
     nb = 1 << w
-    order = jnp.argsort(digits)
+    if config.MSM_RADIX_SORT:
+        order = _radix_argsort(digits, w)
+    else:
+        order = jnp.argsort(digits)
     d_sorted = digits[order]
     p_sorted = C.GE(*(c[order] for c in points))
     head = jnp.concatenate([jnp.ones((1,), bool),
