@@ -26,6 +26,36 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# jax's LRUCache.put writes cache entries with a bare write_bytes — a run
+# killed mid-write (timeout, watchdog) leaves a truncated zstd file, and the
+# next reader SEGFAULTS inside decompression. Make writes atomic
+# (temp file + rename) so an interrupted test run can't poison the cache.
+try:
+    from jax._src import lru_cache as _lru
+
+    _orig_put = _lru.LRUCache.put
+
+    def _atomic_put(self, key, val):
+        import pathlib
+        import uuid
+
+        real_write_bytes = pathlib.Path.write_bytes
+
+        def write_bytes_atomic(path, data):
+            tmp = path.with_name(f".tmp-{uuid.uuid4().hex}-{path.name}")
+            real_write_bytes(tmp, data)
+            os.replace(tmp, path)
+
+        pathlib.Path.write_bytes = write_bytes_atomic
+        try:
+            _orig_put(self, key, val)
+        finally:
+            pathlib.Path.write_bytes = real_write_bytes
+
+    _lru.LRUCache.put = _atomic_put
+except Exception:
+    pass
 # persistent compile cache: the limb-arithmetic graphs are large and identical
 # across test runs; caching makes reruns fast
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bp_cpu")
