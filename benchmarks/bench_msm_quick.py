@@ -41,6 +41,9 @@ def main():
     t = statistics.median(ts)
     print(json.dumps({"metric": "msm_points_per_sec_quick", "n": n, "w": w,
                       "vmap_windows": config.MSM_VMAP_WINDOWS,
+                      "radix_sort": config.MSM_RADIX_SORT,
+                      "chunked_scan": config.MSM_CHUNKED_SCAN,
+                      "scan_lanes": config.MSM_SCAN_LANES,
                       "seconds": round(t, 4),
                       "value": round(n / t, 1), "unit": "points/s"}))
 

@@ -93,6 +93,64 @@ def _seg_combine(left, right):
     return out, jnp.logical_or(pf, qf)
 
 
+def _chunked_seg_scan(p_sorted: C.GE, head: jax.Array) -> C.GE:
+    """Work-efficient segmented scan over the curve monoid.
+
+    Partition the n sorted points into `lanes` contiguous chunks and scan each
+    chunk SEQUENTIALLY (lax.scan over depth = n/lanes steps, each step one
+    [lanes]-batched fused Pallas add): n point-adds total, versus the
+    Hillis-Steele associative_scan's ~2n with a large per-stage relayout
+    overhead. Cross-chunk carries are fixed up afterwards with one tiny
+    [lanes]-sized associative_scan plus a single batched add at each chunk's
+    leading-segment tail.
+
+    Returns values equal to the segmented inclusive scan AT SEGMENT-TAIL
+    positions (other positions hold chunk-local partials — the bucket
+    pipeline only reads tails)."""
+    from .. import config
+    n = head.shape[0]
+    lanes = min(config.MSM_SCAN_LANES, n)
+    depth = n // lanes
+    # lane l owns elements [l*depth, (l+1)*depth); step j visits row j of
+    # every chunk, so the scanned axis is depth-major
+    pc = C.GE(*(c.reshape(lanes, depth, F.L).transpose(1, 0, 2)
+                for c in p_sorted))
+    hc = head.reshape(lanes, depth).T                     # [depth, lanes]
+
+    def step(acc, inp):
+        row, h = inp                                      # GE [lanes], [lanes]
+        nxt = C.select(h, row, C.add(acc, row))
+        return nxt, nxt
+
+    _, outs = jax.lax.scan(step, C.identity((lanes,)), (pc, hc))
+    vals = C.GE(*(c.transpose(1, 0, 2).reshape(n, F.L) for c in outs))
+
+    # --- cross-chunk carry fixup ---------------------------------------
+    trail = C.GE(*(c[-1] for c in outs))                  # GE [lanes]
+    hmat = head.reshape(lanes, depth)
+    hashead = hmat.any(axis=1)
+    headfirst = hmat[:, 0]
+    S, _ = jax.lax.associative_scan(_seg_combine, (trail, hashead), axis=0)
+    idp = C.identity((1,))
+    carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
+                   for ic, sc in zip(idp, S)))            # exclusive shift
+    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    tmat = tail.reshape(lanes, depth)
+    has_tail = tmat.any(axis=1)
+    first_tail = jnp.argmax(tmat, axis=1)
+    lane_ids = jnp.arange(lanes)
+    # a chunk's leading segment needs the carry iff it continues a segment
+    # from the previous chunk and actually closes somewhere in this chunk
+    apply = (lane_ids > 0) & (~headfirst) & has_tail
+    pos = jnp.where(apply, lane_ids * depth + first_tail, n)   # n = discard
+    vpad = C.GE(*(jnp.concatenate(
+        [c, jnp.zeros((1, F.L), c.dtype)], axis=0) for c in vals))
+    tgt = C.GE(*(c[pos] for c in vpad))
+    fixed = C.add(tgt, carry)
+    vfix = C.GE(*(vc.at[pos].set(fc) for vc, fc in zip(vpad, fixed)))
+    return C.GE(*(c[:n] for c in vfix))
+
+
 def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
     """Bucket-accumulate one window; returns the window's weighted sum."""
     from .. import config
@@ -106,7 +164,12 @@ def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
     p_sorted = C.GE(*(c[order] for c in points))
     head = jnp.concatenate([jnp.ones((1,), bool),
                             d_sorted[1:] != d_sorted[:-1]])
-    vals, _ = jax.lax.associative_scan(_seg_combine, (p_sorted, head), axis=0)
+    if (config.MSM_CHUNKED_SCAN and n % min(config.MSM_SCAN_LANES, n) == 0
+            and n >= 2 * min(config.MSM_SCAN_LANES, n)):
+        vals = _chunked_seg_scan(p_sorted, head)
+    else:
+        vals, _ = jax.lax.associative_scan(
+            _seg_combine, (p_sorted, head), axis=0)
     tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
     # scatter segment tails: each present digit has exactly one tail index;
     # everything else lands in the discard slot nb.

@@ -9,13 +9,31 @@ jax.config.update, before any backend is initialized.
 import os
 import resource
 
-# XLA's CPU compiler overflows the default 8 MiB main-thread stack on the
-# deepest limb-arithmetic graphs (observed: segfault inside
-# backend_compile_and_load compiling the windowed MSM). Raise the soft limit
-# to the hard limit before any compile runs.
+# XLA:CPU executables for the big limb-arithmetic graphs create tens of
+# thousands of memory mappings each when compiled OR deserialized; a few of
+# them in one process exhausts the kernel's default vm.max_map_count
+# (65530) and the next mmap failure surfaces as a segfault deep inside
+# compile/deserialize/cache paths (measured: /proc/self/maps hit 64527 at
+# the moment of the crash). Raise the limit when we can (root), else warn.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _maps = int(_f.read())
+    if _maps < 1 << 21:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write(str(1 << 22))
+except OSError:
+    import warnings
+    warnings.warn("could not raise vm.max_map_count; the test suite may "
+                  "segfault on mmap exhaustion (needs >~10^6 mappings)")
+
+# Belt-and-braces: XLA compile recursion is deep on these graphs; give the
+# main thread and glibc's default pthread stacks generous FINITE room.
+_STACK_WANT = 1 << 29                                 # 512 MiB
 try:
     _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    _want = _STACK_WANT if _hard == resource.RLIM_INFINITY \
+        else min(_STACK_WANT, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
 except (ValueError, OSError):
     pass
 

@@ -63,6 +63,25 @@ def test_msm_auto_routes_both_paths(rng, monkeypatch):
     assert C.to_oracle(M.msm_auto(pts, sc_dev))[0] == want      # bucket path
 
 
+def test_chunked_seg_scan_matches_oracle(rng, monkeypatch):
+    # force the chunked-scan path with tiny chunks so n=32 exercises
+    # multi-chunk segments and the cross-chunk carry fixup
+    from cudabulletproof_tpu import config
+    monkeypatch.setattr(config, "MSM_CHUNKED_SCAN", True)
+    monkeypatch.setattr(config, "MSM_SCAN_LANES", 4)
+    pts, sc_dev, sc, want = setup_case(rng, 32)
+    assert C.to_oracle(pippenger.msm_pippenger(pts, sc_dev, w=8))[0] == want
+    # degenerate: one segment spanning every chunk (all digits equal)
+    ones = F.from_ints([1] * 32)
+    got = C.to_oracle(pippenger.msm_pippenger(pts, ones, w=8))[0]
+    import functools
+    import operator
+    want_sum = functools.reduce(operator.add,
+                                [oracle.hash_to_point(b"mtest", 1000 + i)
+                                 for i in range(32)])
+    assert got == want_sum
+
+
 def test_msm_ints_multi_matches_oracle(rng):
     # the prover's fused multi-MSM+compression path (one dispatch, B results)
     n = 5
