@@ -151,6 +151,35 @@ def _chunked_seg_scan(p_sorted: C.GE, head: jax.Array) -> C.GE:
     return C.GE(*(c[:n] for c in vfix))
 
 
+def _chunked_scan_full(p: C.GE) -> C.GE:
+    """Unsegmented inclusive scan (curve monoid), correct at EVERY position.
+
+    Same chunked-sequential structure as _chunked_seg_scan, but the carry
+    fixup adds each chunk's incoming prefix to all of its positions (one
+    extra [n]-batched fused add). ~2n adds total; used for the bucket
+    suffix scan."""
+    from .. import config
+    n = p.x.shape[0]
+    lanes = min(config.MSM_SCAN_LANES, n)
+    depth = n // lanes
+    pc = C.GE(*(c.reshape(lanes, depth, F.L).transpose(1, 0, 2) for c in p))
+
+    def step(acc, row):
+        nxt = C.add(acc, row)
+        return nxt, nxt
+
+    _, outs = jax.lax.scan(step, C.identity((lanes,)), pc)   # [depth, lanes]
+    trail = C.GE(*(c[-1] for c in outs))                     # GE [lanes]
+    S = jax.lax.associative_scan(C.add, trail, axis=0)
+    idp = C.identity((1,))
+    carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
+                   for ic, sc in zip(idp, S)))               # [lanes]
+    cb = C.GE(*(jnp.broadcast_to(c[None], (depth,) + c.shape)
+                for c in carry))                             # [depth, lanes]
+    fixed = C.add(outs, cb)
+    return C.GE(*(c.transpose(1, 0, 2).reshape(n, F.L) for c in fixed))
+
+
 def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
     """Bucket-accumulate one window; returns the window's weighted sum."""
     from .. import config
@@ -178,7 +207,18 @@ def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
     buckets = C.GE(*(bc.at[idx].set(vc) for bc, vc in zip(buckets, vals)))
     # weighted sum over buckets 1..nb-1:  sum_b b*S_b = sum_b suffix_b
     body = C.GE(*(bc[1:nb][::-1] for bc in buckets))
-    suffix = jax.lax.associative_scan(C.add, body, axis=0)
+    m = nb - 1
+    lanes = min(config.MSM_SCAN_LANES, m)
+    if config.MSM_CHUNKED_SCAN and m >= 2 * lanes:
+        pad = (-m) % lanes                   # pad tail with identity points
+        if pad:
+            idp = C.identity((pad,))
+            body = C.GE(*(jnp.concatenate([bc, ic], axis=0)
+                          for bc, ic in zip(body, idp)))
+        suffix = _chunked_scan_full(body)
+        suffix = C.GE(*(bc[:m] for bc in suffix))
+    else:
+        suffix = jax.lax.associative_scan(C.add, body, axis=0)
     return C.tree_reduce(suffix)
 
 
