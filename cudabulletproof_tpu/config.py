@@ -55,6 +55,11 @@ MSM_RADIX_SORT = _env_flag("MSM_RADIX_SORT", False)
 # Sub-key width per radix pass (one-hot cumsum traffic scales with 2^bits
 # per pass; passes scale with w/bits).
 MSM_RADIX_BITS = _env_int("MSM_RADIX_BITS", 5)
+# Timing-only: skip the digit sort (produces WRONG results) to isolate the
+# sort stage's cost in whole-MSM measurements.
+MSM_SKIP_SORT = _env_flag("MSM_SKIP_SORT", False)
+# Timing-only stage skipper ('' | 'noscan' | 'nosuffix'); WRONG results.
+MSM_TIMING_STAGE = os.environ.get("BP_MSM_TIMING_STAGE", "")
 # Segmented bucket scan: chunked-sequential (lax.scan of [lanes]-batched
 # fused adds + carry fixup; ~n adds total) vs XLA associative_scan (~2n adds
 # with per-stage relayout overhead). Measured +85% MSM throughput at 2^16

@@ -180,32 +180,15 @@ def _chunked_scan_full(p: C.GE) -> C.GE:
     return C.GE(*(c.transpose(1, 0, 2).reshape(n, F.L) for c in fixed))
 
 
-def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
-    """Bucket-accumulate one window; returns the window's weighted sum."""
+def _unflat(a: jax.Array) -> C.GE:
+    """[..., 80] -> GE of 4 x [..., 20] (cheap slices)."""
+    return C.GE(a[..., 0:F.L], a[..., F.L:2 * F.L],
+                a[..., 2 * F.L:3 * F.L], a[..., 3 * F.L:4 * F.L])
+
+
+def _bucket_suffix_fold(buckets: C.GE, nb: int) -> C.GE:
+    """sum_b b*S_b over buckets 1..nb-1 via a suffix scan + fold."""
     from .. import config
-    n = digits.shape[0]
-    nb = 1 << w
-    if config.MSM_RADIX_SORT:
-        order = _radix_argsort(digits, w)
-    else:
-        order = jnp.argsort(digits)
-    d_sorted = digits[order]
-    p_sorted = C.GE(*(c[order] for c in points))
-    head = jnp.concatenate([jnp.ones((1,), bool),
-                            d_sorted[1:] != d_sorted[:-1]])
-    if (config.MSM_CHUNKED_SCAN and n % min(config.MSM_SCAN_LANES, n) == 0
-            and n >= 2 * min(config.MSM_SCAN_LANES, n)):
-        vals = _chunked_seg_scan(p_sorted, head)
-    else:
-        vals, _ = jax.lax.associative_scan(
-            _seg_combine, (p_sorted, head), axis=0)
-    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
-    # scatter segment tails: each present digit has exactly one tail index;
-    # everything else lands in the discard slot nb.
-    idx = jnp.where(tail, d_sorted, nb)
-    buckets = C.identity((nb + 1,))
-    buckets = C.GE(*(bc.at[idx].set(vc) for bc, vc in zip(buckets, vals)))
-    # weighted sum over buckets 1..nb-1:  sum_b b*S_b = sum_b suffix_b
     body = C.GE(*(bc[1:nb][::-1] for bc in buckets))
     m = nb - 1
     lanes = min(config.MSM_SCAN_LANES, m)
@@ -222,6 +205,98 @@ def _bucket_window(points: C.GE, digits: jax.Array, w: int) -> C.GE:
     return C.tree_reduce(suffix)
 
 
+def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
+                           w: int) -> C.GE:
+    """Chunk-layout bucket accumulation: ONE [n, 80] gather lands directly in
+    [depth, lanes, 80] scan layout (no per-coordinate gathers, no
+    transposes), the carry fixup and the bucket scatter address chunk
+    coordinates directly."""
+    from .. import config
+    n = digits.shape[0]
+    nb = 1 << w
+    lanes = min(config.MSM_SCAN_LANES, n)
+    depth = n // lanes
+    d_sorted = digits[order]
+    head = jnp.concatenate([jnp.ones((1,), bool),
+                            d_sorted[1:] != d_sorted[:-1]])
+    order_c = order.reshape(lanes, depth).T          # [depth, lanes]
+    pc = _unflat(flat[order_c])                      # one gather, GE [d, l]
+    hc = head.reshape(lanes, depth).T
+
+    def step(acc, inp):
+        row, h = inp
+        nxt = C.select(h, row, C.add(acc, row))
+        return nxt, nxt
+
+    _, outs = jax.lax.scan(step, C.identity((lanes,)), (pc, hc))
+
+    # cross-chunk carry fixup, addressed in chunk coordinates
+    trail = C.GE(*(c[-1] for c in outs))             # GE [lanes]
+    hmat = head.reshape(lanes, depth)
+    hashead = hmat.any(axis=1)
+    headfirst = hmat[:, 0]
+    S, _ = jax.lax.associative_scan(_seg_combine, (trail, hashead), axis=0)
+    idp = C.identity((1,))
+    carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
+                   for ic, sc in zip(idp, S)))
+    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    tmat = tail.reshape(lanes, depth)
+    has_tail = tmat.any(axis=1)
+    first_tail = jnp.argmax(tmat, axis=1)            # [lanes] chunk-row coord
+    lane_ids = jnp.arange(lanes)
+    apply = (lane_ids > 0) & (~headfirst) & has_tail
+    tgt = C.GE(*(c[first_tail, lane_ids] for c in outs))      # [lanes]
+    fixed = C.select(apply, C.add(tgt, carry), tgt)
+    outs = C.GE(*(c.at[first_tail, lane_ids].set(fc)
+                  for c, fc in zip(outs, fixed)))
+
+    # bucket scatter straight from chunk layout (tail positions only)
+    idx_c = jnp.where(tmat, d_sorted.reshape(lanes, depth), nb).T  # [d, l]
+    buckets = C.identity((nb + 1,))
+    buckets = C.GE(*(bc.at[idx_c].set(vc) for bc, vc in zip(buckets, outs)))
+    return _bucket_suffix_fold(buckets, nb)
+
+
+def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
+    """Bucket-accumulate one window; returns the window's weighted sum.
+    `flat` is the window-invariant [n, 80] flattened point array."""
+    from .. import config
+    n = digits.shape[0]
+    nb = 1 << w
+    if config.MSM_SKIP_SORT:
+        order = jnp.arange(n, dtype=jnp.int32)   # timing-only: wrong results
+    elif config.MSM_RADIX_SORT:
+        order = _radix_argsort(digits, w)
+    else:
+        order = jnp.argsort(digits)
+    if (config.MSM_CHUNKED_SCAN and not config.MSM_TIMING_STAGE
+            and n % min(config.MSM_SCAN_LANES, n) == 0
+            and n >= 2 * min(config.MSM_SCAN_LANES, n)):
+        return _bucket_window_chunked(flat, digits, order, w)
+
+    d_sorted = digits[order]
+    p_sorted = _unflat(flat[order])
+    head = jnp.concatenate([jnp.ones((1,), bool),
+                            d_sorted[1:] != d_sorted[:-1]])
+    if config.MSM_TIMING_STAGE == "noscan":      # timing-only: wrong results
+        vals = p_sorted
+    elif (config.MSM_CHUNKED_SCAN and n % min(config.MSM_SCAN_LANES, n) == 0
+            and n >= 2 * min(config.MSM_SCAN_LANES, n)):
+        vals = _chunked_seg_scan(p_sorted, head)
+    else:
+        vals, _ = jax.lax.associative_scan(
+            _seg_combine, (p_sorted, head), axis=0)
+    if config.MSM_TIMING_STAGE == "nosuffix":    # timing-only: wrong results
+        return C.GE(*(c[0] for c in vals))
+    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
+    # scatter segment tails: each present digit has exactly one tail index;
+    # everything else lands in the discard slot nb.
+    idx = jnp.where(tail, d_sorted, nb)
+    buckets = C.identity((nb + 1,))
+    buckets = C.GE(*(bc.at[idx].set(vc) for bc, vc in zip(buckets, vals)))
+    return _bucket_suffix_fold(buckets, nb)
+
+
 @functools.partial(jax.jit, static_argnames=("w",))
 def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
     """sum_i scalars[i] * points[i] via bucket method.
@@ -232,16 +307,16 @@ def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
     rebuilt as a scaling bucket kernel instead of per-point ladders.
     """
     digits = extract_digits(scalars, w)          # [nw, n]
+    flat = jnp.concatenate(list(points), axis=-1)   # [n, 80], window-invariant
     from .. import config
     if config.MSM_VMAP_WINDOWS:
-        # all windows in one batched program: the sort and the segmented scan
-        # are O(n) with a large per-stage dispatch overhead, which batching
-        # over the window axis amortizes ~nw-fold
+        # all windows in one batched program — measured SLOWER (materializes
+        # every window's gather at once); kept for A/B
         window_sums = jax.vmap(
-            lambda d: _bucket_window(points, d, w))(digits)  # GE [nw]
+            lambda d: _bucket_window(flat, d, w))(digits)  # GE [nw]
     else:
         window_sums = jax.lax.map(
-            lambda d: _bucket_window(points, d, w), digits)   # GE [nw]
+            lambda d: _bucket_window(flat, d, w), digits)   # GE [nw]
 
     nw = num_windows(w)
 
