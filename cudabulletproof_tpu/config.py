@@ -6,8 +6,9 @@ MAX_BATCH_SIZE 4096 field_ops.cu:10; `int range_bits = 16`
 complete_bulletproof_test.cu:70 — all hardcoded, "No runtime flags at all").
 
 Every knob here is a genuine runtime knob: read once at import, overridable via
-environment (BP_<NAME>) or by assigning before first use.  Kernel-shape knobs
-(PALLAS_LANES) take effect per jit-compilation, so tests can sweep them.
+environment (BP_<NAME>) or by assigning before first use.  Algorithm-selection
+knobs take effect per jit-compilation, so tests can sweep them (re-trace after
+changing one, e.g. via a fresh shape or jax.clear_caches()).
 """
 from __future__ import annotations
 
@@ -27,8 +28,9 @@ def _env_flag(name: str, default: bool = False) -> bool:
 
 
 # --- kernel shape knobs (analog of BLOCK_SIZE / REDUCE_BLOCK_SIZE) -----------
-# Pallas batch tile width (lanes). Multiple of 128 (one VREG row of lanes).
-PALLAS_LANES = _env_int("PALLAS_LANES", 256)
+# (The Pallas batch tile width is a fixed 256 lanes — pallas_field.LANES; the
+# one-hot column accumulation and halving reductions assume that power-of-two
+# 2x128 tile, so it is deliberately NOT a runtime knob.)
 
 # Route batched curve ops through the fused Pallas kernels on TPU (measured
 # ~200x over XLA for inlined add chains, which XLA recompute-fuses).
@@ -56,10 +58,23 @@ MSM_RADIX_SORT = _env_flag("MSM_RADIX_SORT", False)
 # per pass; passes scale with w/bits).
 MSM_RADIX_BITS = _env_int("MSM_RADIX_BITS", 5)
 # Timing-only: skip the digit sort (produces WRONG results) to isolate the
-# sort stage's cost in whole-MSM measurements.
+# sort stage's cost in whole-MSM measurements.  Guarded: the protocol entry
+# points (models/*) call require_exact() and refuse to run with these set.
 MSM_SKIP_SORT = _env_flag("MSM_SKIP_SORT", False)
 # Timing-only stage skipper ('' | 'noscan' | 'nosuffix'); WRONG results.
 MSM_TIMING_STAGE = os.environ.get("BP_MSM_TIMING_STAGE", "")
+
+
+def require_exact() -> None:
+    """Refuse to run protocol-level code with timing-only (result-corrupting)
+    flags set: they exist solely for stage isolation in benchmarks/, and a
+    stray BP_MSM_SKIP_SORT in a real process would make verification silently
+    unsound (round-1 advisor finding)."""
+    if MSM_SKIP_SORT or MSM_TIMING_STAGE:
+        raise RuntimeError(
+            "BP_MSM_SKIP_SORT / BP_MSM_TIMING_STAGE are timing-only flags "
+            "that corrupt MSM results; refusing to run protocol code. "
+            "Unset them (they are valid only for benchmarks/ stage timing).")
 # Segmented bucket scan: chunked-sequential (lax.scan of [lanes]-batched
 # fused adds + carry fixup; ~n adds total) vs XLA associative_scan (~2n adds
 # with per-stage relayout overhead). Measured +85% MSM throughput at 2^16

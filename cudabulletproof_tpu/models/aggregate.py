@@ -52,6 +52,8 @@ def _base_transcript(n: int, m: int) -> Transcript:
 
 
 def prove(values, blindings, n: int, gens: Generators | None = None) -> AggregatedRangeProof:
+    from .. import config
+    config.require_exact()
     m = len(values)
     assert len(blindings) == m
     if m & (m - 1) != 0:
@@ -155,6 +157,8 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
     """Aggregated verification: both checks merged into ONE MSM via a random
     linear combination (as rangeproof.verify does for single proofs) with a
     single batched decompression — one device dispatch chain in total."""
+    from .. import config
+    config.require_exact()
     n, m = proof.n, proof.m
     if n < 1 or m < 1 or n & (n - 1) != 0 or m & (m - 1) != 0:
         return False
@@ -238,12 +242,14 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
     bases = M.concat_ge(G, H, gens.g, gens.h, V_pts, T1_pt, T2_pt,
                         A_pt, S_pt, L_pts, R_pts)
     res = M.msm_ints(bases, sc)
-    return bool(C.is_identity(res))
+    return bool(C.is_identity(C.mul8(res)))       # cofactored check
 
 
 def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
     """Verify k single range proofs (same n) with ONE random-linear-combination
     MSM.  Sound: a cheating proof passes with probability ~2/l."""
+    from .. import config
+    config.require_exact()
     if not proofs:
         return True
     n = proofs[0].n
@@ -334,4 +340,4 @@ def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
     bases = M.concat_ge(G, H, gens.g, gens.h, stacked)
     sc = g_acc + h_acc + [g_single, h_single] + extra_sc
     res = M.msm_ints(bases, sc)
-    return bool(C.is_identity(res))
+    return bool(C.is_identity(C.mul8(res)))       # cofactored check

@@ -106,6 +106,8 @@ def prove(value: int, blinding: int, n: int,
 
     Reference parity: generate_range_proof (bulletproof_range_proof.cu:1159-1714).
     """
+    from .. import config
+    config.require_exact()
     if not validate_range_input(value, n):
         # parity: the reference prover refuses out-of-range values (cu:1176-1188)
         raise ProveError(f"value out of range [0, 2^{n})")
@@ -199,8 +201,9 @@ def prove(value: int, blinding: int, n: int,
 
 
 def _decompress_all(blobs):
-    """Batch-decompress, padded to a power of two (>=8) with a known-valid
-    encoding so C.from_bytes compiles for a fixed set of shapes."""
+    """Batch-decompress PROOF points, padded to a power of two (>=8) with a
+    known-valid encoding so C.from_bytes compiles for a fixed set of shapes.
+    Small-order points are rejected (torsion-safe: see C.is_small_order)."""
     n = len(blobs)
     m = 8
     while m < n:
@@ -211,6 +214,7 @@ def _decompress_all(blobs):
         [np.frombuffer(b, dtype=np.uint8) for b in blobs]
         + [np.frombuffer(pad, dtype=np.uint8)] * (m - n)))
     pts, ok = C.from_bytes(arr)
+    ok = jnp.logical_and(ok, ~C.is_small_order(pts))
     pts = C.GE(*(c[:n] for c in pts))
     return pts, bool(jnp.all(ok[:n]))
 
@@ -230,6 +234,7 @@ def _fused_verify_fn(n: int):
     @jax.jit
     def fn(pts_bytes, scalars, G, H, g, h):
         pts, valid = C.from_bytes(pts_bytes)          # [npts]
+        valid = jnp.logical_and(valid, ~C.is_small_order(pts))
         singles = C.GE(*(jnp.stack([gc, hc, c[0], c[1], c[2], c[3], c[4]])
                          for gc, hc, c in zip(g, h, pts)))
         lr = C.GE(*(c[5:] for c in pts))
@@ -245,7 +250,9 @@ def _fused_verify_fn(n: int):
                            for bc, ic in zip(bases, idn)))
             scalars = jnp.concatenate(
                 [scalars, jnp.zeros((pad - m, F.L), F.DTYPE)], axis=0)
-        res = M.msm_auto(bases, scalars)
+        # cofactored check: x8 clears any torsion component so acceptance is
+        # decided purely in the prime-order subgroup
+        res = C.mul8(M.msm_auto(bases, scalars))
         return jnp.logical_and(jnp.all(valid), C.is_identity(res))
 
     return fn
@@ -255,6 +262,8 @@ def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
     """Fused verification: both checks of verify_deterministic merged into one
     MSM via a random linear combination (soundness error 1/l, standard
     batching) and executed in a single device dispatch."""
+    from .. import config
+    config.require_exact()
     n = proof.n
     if n < 1 or n & (n - 1) != 0 or proof.ip.n != n:
         return False
@@ -379,12 +388,20 @@ def verify_deterministic(proof: RangeProof, gens: Generators | None = None) -> b
      + sum (b s_i^{-1} y^{-i} - z - z^2 2^i y^{-i}) H_i
      + (ab - t_hat) w g + mu h - A - x S - sum(u_j^2 L_j + u_j^{-2} R_j) == 0
     """
+    from .. import config
+    config.require_exact()
     n = proof.n
     if n < 1 or n & (n - 1) != 0 or proof.ip.n != n:
         return False
     if len(proof.ip.L) != len(proof.ip.R) or (1 << len(proof.ip.L)) != n:
         return False
+    if any(len(b) != 32 for b in
+           [proof.V, proof.A, proof.S, proof.T1, proof.T2, *proof.ip.L,
+            *proof.ip.R]):
+        return False
     gens = gens or get_generators(n)
+    if gens.n < n:
+        return False
     G = C.GE(*(c[:n] for c in gens.G))
     H = C.GE(*(c[:n] for c in gens.H))
 
@@ -422,7 +439,7 @@ def verify_deterministic(proof: RangeProof, gens: Generators | None = None) -> b
     sc1 = [(t_hat - delta) % S.ELL, proof.taux % S.ELL,
            (S.ELL - z2) % S.ELL, (S.ELL - x) % S.ELL, (S.ELL - x2) % S.ELL]
     res1 = M.msm_ints(M.concat_ge(gens.g, gens.h, V_pt, T1_pt, T2_pt), sc1)
-    if not bool(C.is_identity(res1)):
+    if not bool(C.is_identity(C.mul8(res1))):     # cofactored check
         return False
 
     # --- check 2: merged P + one-shot IPA multiexp (exact) ---
@@ -455,4 +472,4 @@ def verify_deterministic(proof: RangeProof, gens: Generators | None = None) -> b
         bases = M.concat_ge(G, H, gens.g, gens.h, A_pt, S_pt)
         sc2 = g_sc + h_sc + [gq_sc, h_single, a_sc, s_sc]
     res2 = M.msm_ints(bases, sc2)
-    return bool(C.is_identity(res2))
+    return bool(C.is_identity(C.mul8(res2)))      # cofactored check

@@ -292,6 +292,24 @@ def is_identity(p: GE) -> jax.Array:
 
 
 @jax.jit
+def mul8(p: GE) -> GE:
+    """[8]P via three doublings — cofactor clearing for ed25519's Z_8 torsion."""
+    return double(double(double(p)))
+
+
+@jax.jit
+def is_small_order(p: GE) -> jax.Array:
+    """True where P is in the 8-torsion subgroup E[8] (includes the identity).
+
+    Verifiers reject small-order proof points outright and multiply their
+    final multiexp checks by 8 ('cofactored verification'), so mixed-torsion
+    components can never influence acceptance.  The reference performs no
+    subgroup validation anywhere (ge25519_is_on_curve stub,
+    curve25519_ops.cu:534-541)."""
+    return is_identity(mul8(p))
+
+
+@jax.jit
 def is_on_curve(p: GE) -> jax.Array:
     """Projective check of -x^2 + y^2 = 1 + d x^2 y^2 plus the extended-coord
     invariant T*Z = X*Y.  (The reference's ge25519_is_on_curve is a stub that

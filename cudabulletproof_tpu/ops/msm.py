@@ -182,15 +182,7 @@ def concat_ge(*parts: C.GE) -> C.GE:
             [p[i] if p[i].ndim == 2 else p[i][None] for p in parts], axis=0))
     return C.GE(*comps)
 
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def fold_generators(lo: C.GE, hi: C.GE, s_lo: jax.Array, s_hi: jax.Array, k: int = 0) -> C.GE:
-    """G'_i = s_lo * lo_i + s_hi * hi_i  (the IPA generator fold; reference:
-    bulletproof_vectors.cu:641-663 does this with host scalarmults)."""
-    return C.add(C.scalarmult(lo, s_lo), C.scalarmult(hi, s_hi))
-
-
-@jax.jit
-def scale_points(points: C.GE, scalars: jax.Array) -> C.GE:
-    """Elementwise s_i * P_i (no reduction) — e.g. H'_i = y^-i H_i."""
-    return C.scalarmult(points, scalars)
+# (Round-1 carried fold_generators/scale_points helpers here for the IPA
+# generator fold; the symbolic host-side fold in models/ipa.py made them
+# dead code and they were removed — the reference's materialized fold,
+# bulletproof_vectors.cu:641-663, has no device analog in this design.)

@@ -150,6 +150,43 @@ def hash_to_point(label: bytes, index: int) -> Point:
         ctr += 1
 
 
+def small_order_points():
+    """The 8-torsion subgroup E[8] (the full curve group is Z_8 x Z_l).
+
+    Used by tests to feed small-order / mixed-torsion points into proof
+    decompression; the verifiers must reject the former and be invariant to
+    the latter (cofactored verification).  The reference has no torsion
+    handling at all (its ge25519_is_on_curve is a stub,
+    curve25519_ops.cu:534-541)."""
+    def mul_noreduce(p: Point, s: int) -> Point:
+        # Point.__mul__ reduces mod l, which would make l*q the identity
+        acc, addend = IDENTITY, p
+        while s:
+            if s & 1:
+                acc = acc + addend
+            addend = addend.double()
+            s >>= 1
+        return acc
+
+    # find a generator of the torsion: l * (any point of full order 8l)
+    ctr = 0
+    while True:
+        h = hashlib.sha256(b"torsion-probe" + ctr.to_bytes(8, "little")).digest()
+        q = decompress(h)
+        if q is not None:
+            t = mul_noreduce(q, ELL)     # order divides 8
+            if t != IDENTITY and t.double() != IDENTITY and \
+                    t.double().double() != IDENTITY:
+                break
+        ctr += 1
+    pts, acc = [], IDENTITY
+    for _ in range(8):
+        pts.append(acc)
+        acc = acc + t
+    assert acc == IDENTITY
+    return pts
+
+
 def sc_from_hash(data: bytes) -> int:
     """Challenge scalar: SHA-256 output, top bit cleared (matching the
     reference's generate_challenge, bulletproof_challenge.cu:6-21), reduced

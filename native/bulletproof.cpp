@@ -283,6 +283,9 @@ bool verify_range(const RangeProof& proof, const Generators& gens) {
         !ge_frombytes(S, proof.S) || !ge_frombytes(T1, proof.T1) ||
         !ge_frombytes(T2, proof.T2))
         return false;
+    if (ge_is_small_order(V) || ge_is_small_order(A) || ge_is_small_order(S) ||
+        ge_is_small_order(T1) || ge_is_small_order(T2))
+        return false;   // torsion-safe: reject E[8] proof points
 
     Transcript tr = base_transcript(n);
     tr.append_point("V", proof.V);
@@ -307,7 +310,8 @@ bool verify_range(const RangeProof& proof, const Generators& gens) {
         std::vector<const ge*> pts{&gens.g, &gens.h, &V, &T1, &T2};
         std::vector<sc> scs{sc_sub(proof.t_hat, delta), proof.taux,
                             sc_neg(z2), sc_neg(x), sc_neg(x2)};
-        if (!ge_is_identity(msm(pts, scs))) return false;
+        // cofactored check: x8 so acceptance is decided in the prime subgroup
+        if (!ge_is_identity(ge_mul8(msm(pts, scs)))) return false;
     }
 
     // re-derive IPA challenges
@@ -316,6 +320,7 @@ bool verify_range(const RangeProof& proof, const Generators& gens) {
     for (uint32_t j = 0; j < k; j++) {
         if (!ge_frombytes(Lp[j], proof.ip.L[j].data())) return false;
         if (!ge_frombytes(Rp[j], proof.ip.R[j].data())) return false;
+        if (ge_is_small_order(Lp[j]) || ge_is_small_order(Rp[j])) return false;
         tr.append_point("ipL", proof.ip.L[j].data());
         tr.append_point("ipR", proof.ip.R[j].data());
         us[j] = tr.challenge(IPA_DOMAIN);
@@ -364,7 +369,7 @@ bool verify_range(const RangeProof& proof, const Generators& gens) {
         pts.push_back(&Rp[j]);
         scs.push_back(sc_neg(sc_mul(us_inv[j], us_inv[j])));
     }
-    return ge_is_identity(msm(pts, scs));
+    return ge_is_identity(ge_mul8(msm(pts, scs)));   // cofactored check
 }
 
 // --- serialization -----------------------------------------------------------

@@ -118,6 +118,17 @@ inline bool ge_is_identity(const ge& p) {
     return fe_iszero(p.X) && fe_eq(p.Y, p.Z);
 }
 
+// [8]P — cofactor clearing for ed25519's Z_8 torsion subgroup
+inline ge ge_mul8(const ge& p) { return ge_double(ge_double(ge_double(p))); }
+
+// P in E[8]? Verifiers reject small-order proof points and multiply their
+// final multiexp checks by 8 (cofactored verification), mirroring
+// ops/curve.py::is_small_order.  The reference validates nothing
+// (ge25519_is_on_curve stub, curve25519_ops.cu:534-541).
+inline bool ge_is_small_order(const ge& p) {
+    return ge_is_identity(ge_mul8(p));
+}
+
 inline bool ge_on_curve(const ge& p) {
     fe x2 = fe_sq(p.X), y2 = fe_sq(p.Y), z2 = fe_sq(p.Z);
     fe lhs = fe_mul(fe_carry(fe_sub(y2, x2)), z2);

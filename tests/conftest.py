@@ -14,17 +14,26 @@ import resource
 # them in one process exhausts the kernel's default vm.max_map_count
 # (65530) and the next mmap failure surfaces as a segfault deep inside
 # compile/deserialize/cache paths (measured: /proc/self/maps hit 64527 at
-# the moment of the crash). Raise the limit when we can (root), else warn.
+# the moment of the crash).  Writing the sysctl is a host-global persistent
+# change, so it is opt-in (BP_RAISE_MAP_COUNT=1); otherwise we only warn
+# with the exact command (round-1 advisor finding).
 try:
     with open("/proc/sys/vm/max_map_count") as _f:
         _maps = int(_f.read())
     if _maps < 1 << 21:
-        with open("/proc/sys/vm/max_map_count", "w") as _f:
-            _f.write(str(1 << 22))
+        if os.environ.get("BP_RAISE_MAP_COUNT"):
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write(str(1 << 22))
+        else:
+            import warnings
+            warnings.warn(
+                "vm.max_map_count=%d is too low for this suite's XLA:CPU "
+                "executables and compiles/cache reads may SEGFAULT. Run "
+                "`sysctl -w vm.max_map_count=%d` (or set "
+                "BP_RAISE_MAP_COUNT=1 to let conftest write it)."
+                % (_maps, 1 << 22))
 except OSError:
-    import warnings
-    warnings.warn("could not raise vm.max_map_count; the test suite may "
-                  "segfault on mmap exhaustion (needs >~10^6 mappings)")
+    pass
 
 # Belt-and-braces: XLA compile recursion is deep on these graphs; give the
 # main thread and glibc's default pthread stacks generous FINITE room.

@@ -133,3 +133,34 @@ def test_normalize(rng):
     assert F.to_ints(ge.z) == [1] * 4
     for p, q in zip(pts, C.to_oracle(ge)):
         assert p == q
+
+
+def test_small_order_and_cofactor_clearing(rng):
+    """Torsion safety (round-2): E[8] detection matches the oracle's torsion
+    subgroup; mul8 clears mixed-torsion components exactly."""
+    tor = oracle.small_order_points()
+    ge_tor = C.from_oracle(tor)
+    assert bool(jnp.all(C.is_small_order(ge_tor)))
+    assert bool(jnp.all(C.is_identity(C.mul8(ge_tor))))
+    # prime-subgroup points are never small-order
+    ps = rand_points(rng, 4)
+    assert not bool(jnp.any(C.is_small_order(C.from_oracle(ps))))
+    # mixed point P + T: not small-order, but mul8 lands on 8P
+    mixed = [p + t for p, t in zip(ps, tor[1:5])]
+    ge_mixed = C.from_oracle(mixed)
+    assert not bool(jnp.any(C.is_small_order(ge_mixed)))
+    cleared = C.mul8(ge_mixed)
+    want = C.mul8(C.from_oracle(ps))
+    assert bool(jnp.all(C.eq(cleared, want)))
+
+
+def test_decompress_small_order_encodings():
+    """The 8 canonical small-order encodings decompress as valid curve points
+    (from_bytes is protocol-agnostic) but are flagged by is_small_order —
+    the verifiers reject them at decompression."""
+    import numpy as np
+    tor = oracle.small_order_points()
+    blobs = np.stack([np.frombuffer(t.compress(), dtype=np.uint8) for t in tor])
+    pts, ok = C.from_bytes(jnp.asarray(blobs))
+    assert bool(jnp.all(ok))
+    assert bool(jnp.all(C.is_small_order(pts)))

@@ -65,15 +65,20 @@ def test_msm_auto_routes_both_paths(rng, monkeypatch):
 
 def test_chunked_seg_scan_matches_oracle(rng, monkeypatch):
     # force the chunked-scan path with tiny chunks so n=32 exercises
-    # multi-chunk segments and the cross-chunk carry fixup
+    # multi-chunk segments and the cross-chunk carry fixup.
+    # w=5 deliberately: msm_pippenger is jitted with static_argnames=('w',)
+    # and reads MSM_SCAN_LANES at trace time — (n=32, w=8) is already compiled
+    # by test_pippenger_matches_ladder with default lanes, so reusing it would
+    # silently skip the chunked path (round-1 advisor finding). (32, w=5) is
+    # compiled by no other test, so this trace sees lanes=4.
     from cudabulletproof_tpu import config
     monkeypatch.setattr(config, "MSM_CHUNKED_SCAN", True)
     monkeypatch.setattr(config, "MSM_SCAN_LANES", 4)
     pts, sc_dev, sc, want = setup_case(rng, 32)
-    assert C.to_oracle(pippenger.msm_pippenger(pts, sc_dev, w=8))[0] == want
+    assert C.to_oracle(pippenger.msm_pippenger(pts, sc_dev, w=5))[0] == want
     # degenerate: one segment spanning every chunk (all digits equal)
     ones = F.from_ints([1] * 32)
-    got = C.to_oracle(pippenger.msm_pippenger(pts, ones, w=8))[0]
+    got = C.to_oracle(pippenger.msm_pippenger(pts, ones, w=5))[0]
     import functools
     import operator
     want_sum = functools.reduce(operator.add,

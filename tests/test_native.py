@@ -99,3 +99,17 @@ def test_cross_jax_prove_native_verify():
     assert native.verify_range(wire)
     # round-trip through bytes back into the JAX verifier too
     assert rp.verify(deserialize_range_proof(wire), gens)
+
+
+def test_native_rejects_small_order_points():
+    """Torsion safety in the C++ path: small-order proof points rejected."""
+    from cudabulletproof_tpu.models import rangeproof as rp
+    from cudabulletproof_tpu.utils import serialization
+    blob = native.prove_range(42, 7, 16)
+    assert blob and native.verify_range(blob)
+    proof = serialization.deserialize_range_proof(blob)
+    import dataclasses
+    tor = oracle.small_order_points()
+    for enc in (tor[0].compress(), tor[1].compress()):
+        bad = dataclasses.replace(proof, A=enc)
+        assert not native.verify_range(serialization.serialize_range_proof(bad))
