@@ -135,7 +135,16 @@ def _setup_compile_cache():
 
 
 def main(argv=None) -> int:
+    import os
+
     from . import config
+
+    # BP_PLATFORM=cpu forces the CPU backend (the axon TPU plugin overrides
+    # JAX_PLATFORMS from the environment, so this must go through jax.config
+    # before the backend initializes — e.g. when the TPU tunnel is down)
+    if os.environ.get("BP_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["BP_PLATFORM"])
 
     _setup_compile_cache()
     ap = argparse.ArgumentParser(prog="cudabulletproof_tpu",

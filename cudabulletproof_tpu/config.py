@@ -57,6 +57,13 @@ MSM_RADIX_SORT = _env_flag("MSM_RADIX_SORT", False)
 # Sub-key width per radix pass (one-hot cumsum traffic scales with 2^bits
 # per pass; passes scale with w/bits).
 MSM_RADIX_BITS = _env_int("MSM_RADIX_BITS", 5)
+# Partition points by digit with the Pallas counting-rank kernel
+# (ops/pallas_sort.py: VMEM-resident per-(sublane,lane) counters, one key
+# read per pass) instead of XLA argsort.  Requires n % 1024 == 0; falls back
+# to argsort otherwise.
+MSM_PALLAS_SORT = _env_flag("MSM_PALLAS_SORT", True)
+# Sub-key width per Pallas counting pass (radix = 2^bits counters in VMEM).
+MSM_PALLAS_SORT_BITS = _env_int("MSM_PALLAS_SORT_BITS", 7)
 # Timing-only: skip the digit sort (produces WRONG results) to isolate the
 # sort stage's cost in whole-MSM measurements.  Guarded: the protocol entry
 # points (models/*) call require_exact() and refuse to run with these set.

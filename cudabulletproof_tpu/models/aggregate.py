@@ -153,10 +153,24 @@ def _delta_agg(y: int, z: int, n: int, m: int) -> int:
     return total % S.ELL
 
 
-def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
+def _final_msm(bases: C.GE, sc: list, mesh) -> C.GE:
+    """The verification multiexp, optionally sharded over a device mesh
+    (points split over the 'dp' axis, one tiny gather+fold at the end —
+    parallel/sharded_msm.py)."""
+    if mesh is not None:
+        from ..parallel.sharded_msm import msm_sharded_ints
+        return msm_sharded_ints(bases, sc, mesh=mesh)
+    return M.msm_ints(bases, sc)
+
+
+def verify(proof: AggregatedRangeProof, gens: Generators | None = None,
+           *, mesh=None) -> bool:
     """Aggregated verification: both checks merged into ONE MSM via a random
     linear combination (as rangeproof.verify does for single proofs) with a
-    single batched decompression — one device dispatch chain in total."""
+    single batched decompression — one device dispatch chain in total.
+
+    mesh: optional jax.sharding.Mesh — shards the verification MSM (the 2N
+    G/H bases dominate) across devices; collectives ride ICI."""
     from .. import config
     config.require_exact()
     n, m = proof.n, proof.m
@@ -241,11 +255,12 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None) -> bool:
              for u in us])
     bases = M.concat_ge(G, H, gens.g, gens.h, V_pts, T1_pt, T2_pt,
                         A_pt, S_pt, L_pts, R_pts)
-    res = M.msm_ints(bases, sc)
+    res = _final_msm(bases, sc, mesh)
     return bool(C.is_identity(C.mul8(res)))       # cofactored check
 
 
-def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
+def batch_verify(proofs: list, gens: Generators | None = None,
+                 *, mesh=None) -> bool:
     """Verify k single range proofs (same n) with ONE random-linear-combination
     MSM.  Sound: a cheating proof passes with probability ~2/l."""
     from .. import config
@@ -339,5 +354,5 @@ def batch_verify(proofs: list, gens: Generators | None = None) -> bool:
     stacked = C.GE(*(c[idx] for c in all_pts))
     bases = M.concat_ge(G, H, gens.g, gens.h, stacked)
     sc = g_acc + h_acc + [g_single, h_single] + extra_sc
-    res = M.msm_ints(bases, sc)
+    res = _final_msm(bases, sc, mesh)
     return bool(C.is_identity(C.mul8(res)))       # cofactored check

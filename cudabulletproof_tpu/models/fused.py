@@ -1,0 +1,410 @@
+"""Zero-sync range proofs: prove and verify as ONE device dispatch each.
+
+Round 1's prover interleaved device MSMs with host Fiat-Shamir — 7 syncs per
+16-bit proof, ~78 ms each through the TPU tunnel (546 ms total; NOTES.md
+item 4, VERDICT round-1 item 1 / weakness 3).  Here the ENTIRE protocol —
+commitments, transcript hashing (ops/sha256.py), challenge reduction and all
+mod-l vector algebra (ops/scalar_field.py), the log n IPA rounds, and the
+final compressions — is a single jitted program: random inputs in, proof
+bytes out.  The verifier twin re-derives every challenge on device from the
+proof bytes and runs one merged MSM: proof bytes in, one bool out.
+
+Statement parity: identical transcripts to models/rangeproof.py (lockstep
+tested), which itself mirrors the reference's domains
+(bulletproof_challenge.cu:24-83).  A proof from `prove` verifies under
+rangeproof.verify / verify_deterministic / the native C++ verifier and vice
+versa — all four paths accept exactly the same language.
+
+Key structural fact exploited: the IPA's symbolic generator fold
+(models/ipa.py) has VALUE-INDEPENDENT bookkeeping — after round j, original
+index k sits at folded position k mod (n >> j), and the high/low split is
+bit (log2(n)-1-j) of k.  So every gather index and fold mask is a static
+numpy array baked into the trace, and only the scalar WEIGHTS are traced
+values.  The whole prover is straight-line code plus fori_loops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import curve as C, field as F, scalar_field as SC
+from ..utils import scalars as S
+from . import ipa as ipa_mod
+from .device_transcript import DeviceTranscript
+from .generators import Generators, get_generators
+from .rangeproof import (DOMAIN_Q, DOMAIN_X, DOMAIN_Y, DOMAIN_Z, ProveError,
+                         RangeProof, validate_range_input)
+
+IPA_DOMAIN = ipa_mod.IPA_DOMAIN
+
+
+def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
+    """B MSMs over shared bases, compressed: points GE [m], sc [B, m, SL]
+    scalar limbs -> uint8 [B, 32].  One batch inversion for the B results."""
+    B, m = sc.shape[0], sc.shape[1]
+    fl = SC.to_field_limbs(sc)                       # [B, m, 20]
+    pb = C.GE(*(jnp.broadcast_to(c, (B, m, F.L)) for c in points))
+    acc = C.scalarmult(pb, fl)                       # GE [B, m]
+    m2 = 1
+    while m2 < m:
+        m2 *= 2
+    if m2 != m:                                      # identity-pad to pow2
+        pad = C.identity((B, m2 - m))
+        acc = C.GE(*(jnp.concatenate([c, pc], axis=1)
+                     for c, pc in zip(acc, pad)))
+        m = m2
+    while m > 1:
+        half = m // 2
+        lo = C.GE(*(c[:, :half] for c in acc))
+        hi = C.GE(*(c[:, half:] for c in acc))
+        acc = C.add(lo, hi)
+        m = half
+    return C.to_bytes_batch(C.GE(*(c[:, 0] for c in acc)))
+
+
+def _msm_point(points: C.GE, sc: jax.Array) -> C.GE:
+    """One MSM returning the raw point: points GE [m], sc [m, SL] limbs."""
+    fl = SC.to_field_limbs(sc)
+    acc = C.scalarmult(points, fl)
+    return C.tree_reduce(acc)
+
+
+def _ipa_masks(n: int):
+    """Static per-round fold bookkeeping (see module docstring)."""
+    k = np.arange(n)
+    rounds = []
+    m = n
+    while m > 1:
+        h = m // 2
+        own = k % m
+        hi = own >= h                                # [n] bool
+        idx_a = np.where(hi, own - h, own)           # index into a_L / a_R
+        idx_bR = np.where(hi, 0, own)                # b_R gather (lo side)
+        idx_bL = np.where(hi, own - h, 0)            # b_L gather (hi side)
+        rounds.append((h, hi, idx_a, idx_bR, idx_bL))
+        m = h
+    return rounds
+
+
+@functools.lru_cache(maxsize=None)
+def _prove_fn(n: int):
+    """The one-dispatch prover program for n-bit proofs."""
+    two_n = SC.from_ints([pow(2, i, S.ELL) for i in range(n)])
+    rounds = _ipa_masks(n)
+
+    @jax.jit
+    def fn(G, H, g, h, aL_bits, value_sc, blinding, sL, sR,
+           alpha, rho, tau1, tau2):
+        G, H = C.GE(*G), C.GE(*H)
+        g, h = C.GE(*g), C.GE(*h)
+        tr = DeviceTranscript(b"tpu-bulletproofs/range")
+        tr.append(b"n", n.to_bytes(4, "little"))
+
+        # aL in scalar-limb form; aR = aL - 1 (mod l)
+        aL = SC.zeros((n,)).at[..., 0].set(aL_bits)
+        aR = SC.sub(aL, SC.ones((n,)))
+
+        # V = value*g + blinding*h ; A = alpha*h + <aL,G> + <aR,H> ;
+        # S = rho*h + <sL,G> + <sR,H>   (cu:1194, cu:1267-1289)
+        gh = C.GE(*(jnp.stack([a, b]) for a, b in zip(g, h)))
+        V_b = _msm_compressed(gh, jnp.stack([value_sc, blinding])[None])[0]
+        hGH = C.GE(*(jnp.concatenate([c1[None], c2, c3], axis=0)
+                     for c1, c2, c3 in zip(h, G, H)))
+        AS_b = _msm_compressed(
+            hGH, jnp.stack([
+                jnp.concatenate([alpha[None], aL, aR], axis=0),
+                jnp.concatenate([rho[None], sL, sR], axis=0)]))
+        tr.append_point(b"V", V_b)
+        tr.append_point(b"A", AS_b[0])
+        tr.append_point(b"S", AS_b[1])
+        y = tr.challenge(DOMAIN_Y)
+        z = tr.challenge(DOMAIN_Z)
+
+        y_n = SC.powers(y, n)
+        z2 = SC.sq(z)
+        l0 = SC.sub(aL, z[None])
+        l1 = sL
+        r0 = SC.add(SC.mul(y_n, SC.add(aR, z[None])),
+                    SC.mul(two_n, z2[None]))
+        r1 = SC.mul(y_n, sR)
+
+        t0 = SC.inner(l0, r0)
+        t2 = SC.inner(l1, r1)
+        t1 = SC.sub(SC.inner(SC.add(l0, l1), SC.add(r0, r1)),
+                    SC.add(t0, t2))
+
+        T_b = _msm_compressed(gh, jnp.stack([
+            jnp.stack([t1, tau1]), jnp.stack([t2, tau2])]))
+        tr.append_point(b"T1", T_b[0])
+        tr.append_point(b"T2", T_b[1])
+        x = tr.challenge(DOMAIN_X)
+
+        l_vec = SC.add(l0, SC.mul(l1, x[None]))
+        r_vec = SC.add(r0, SC.mul(r1, x[None]))
+        t_hat = SC.inner(l_vec, r_vec)
+        x2 = SC.sq(x)
+        taux = SC.add(SC.add(SC.mul(tau2, x2), SC.mul(tau1, x)),
+                      SC.mul(z2, blinding))
+        mu = SC.add(alpha, SC.mul(rho, x))
+
+        tr.append_scalar(b"taux", taux)
+        tr.append_scalar(b"mu", mu)
+        tr.append_scalar(b"t", t_hat)
+        w = tr.challenge(DOMAIN_Q)
+
+        # IPA over (G, H' = y^-i H) with Q = w*g implicit (models/ipa.py)
+        y_inv = SC.invert(y)
+        wH = SC.powers(y_inv, n)                     # h_weights
+        wG = SC.ones((n,))
+        a_vec, b_vec = l_vec, r_vec
+        bases = C.GE(*(jnp.concatenate([c2, c3, c1[None]], axis=0)
+                       for c1, c2, c3 in zip(g, G, H)))   # [G | H | g]
+        L_bytes, R_bytes = [], []
+        for (hsz, hi_mask, idx_a, idx_bR, idx_bL) in rounds:
+            a_L, a_R = a_vec[:hsz], a_vec[hsz:]
+            b_L, b_R = b_vec[:hsz], b_vec[hsz:]
+            c_L = SC.inner(a_L, b_R)
+            c_R = SC.inner(a_R, b_L)
+            hi_m = jnp.asarray(hi_mask)[:, None]
+            gl = jnp.where(hi_m, SC.mul(a_L[idx_a], wG), 0)
+            gr = jnp.where(hi_m, 0, SC.mul(a_R[idx_a], wG))
+            hl = jnp.where(hi_m, 0, SC.mul(b_R[idx_bR], wH))
+            hr = jnp.where(hi_m, SC.mul(b_L[idx_bL], wH), 0)
+            scL = jnp.concatenate([gl, hl, SC.mul(c_L, w)[None]], axis=0)
+            scR = jnp.concatenate([gr, hr, SC.mul(c_R, w)[None]], axis=0)
+            LR = _msm_compressed(bases, jnp.stack([scL, scR]))
+            tr.append_point(b"ipL", LR[0])
+            tr.append_point(b"ipR", LR[1])
+            u = tr.challenge(IPA_DOMAIN)
+            u_inv = SC.invert(u)
+            a_vec = SC.add(SC.mul(a_L, u[None]), SC.mul(a_R, u_inv[None]))
+            b_vec = SC.add(SC.mul(b_L, u_inv[None]), SC.mul(b_R, u[None]))
+            wG = jnp.where(hi_m, SC.mul(wG, u), SC.mul(wG, u_inv))
+            wH = jnp.where(hi_m, SC.mul(wH, u_inv), SC.mul(wH, u))
+            L_bytes.append(LR[0])
+            R_bytes.append(LR[1])
+
+        lr = (jnp.stack(L_bytes + R_bytes)
+              if L_bytes else jnp.zeros((0, 32), jnp.uint8))
+        scalars_out = SC.to_bytes(jnp.stack(
+            [taux, mu, t_hat, a_vec[0], b_vec[0]]))
+        return (V_b, AS_b, T_b, lr, scalars_out)
+
+    return fn
+
+
+def prove(value: int, blinding: int, n: int,
+          gens: Generators | None = None) -> RangeProof:
+    """Single-dispatch TPU prover.  Bit-compatible with rangeproof.prove:
+    same transcript, same wire format, accepted by every verifier
+    (tests/test_fused.py cross-checks all paths)."""
+    from .. import config
+    config.require_exact()
+    if not validate_range_input(value, n):
+        raise ProveError(f"value out of range [0, 2^{n})")
+    if n & (n - 1) != 0:
+        raise ProveError("n must be a power of two")
+    gens = gens or get_generators(n)
+    assert gens.n >= n
+    G = C.GE(*(c[:n] for c in gens.G))
+    H = C.GE(*(c[:n] for c in gens.H))
+
+    aL_bits = jnp.asarray(
+        np.array([(value >> i) & 1 for i in range(n)], dtype=np.int32))
+    sL = SC.from_ints([S.sc_random() for _ in range(n)])
+    sR = SC.from_ints([S.sc_random() for _ in range(n)])
+    alpha, rho, tau1, tau2 = (SC.from_int(S.sc_random()) for _ in range(4))
+
+    fn = _prove_fn(n)
+    V_b, AS_b, T_b, lr, sc_out = fn(
+        tuple(G), tuple(H), tuple(gens.g), tuple(gens.h),
+        aL_bits, SC.from_int(value), SC.from_int(blinding % S.ELL),
+        sL, sR, alpha, rho, tau1, tau2)
+
+    V_b, AS_b, T_b, lr, sc_out = (np.asarray(a) for a in
+                                  (V_b, AS_b, T_b, lr, sc_out))
+    k = n.bit_length() - 1
+    as_bytes = lambda row: bytes(row.tolist())
+    ints = [int.from_bytes(as_bytes(r), "little") for r in sc_out]
+    ip = ipa_mod.InnerProductProof(
+        n=n, L=[as_bytes(lr[j]) for j in range(k)],
+        R=[as_bytes(lr[k + j]) for j in range(k)], a=ints[3], b=ints[4])
+    return RangeProof(n=n, V=as_bytes(V_b), A=as_bytes(AS_b[0]),
+                      S=as_bytes(AS_b[1]), T1=as_bytes(T_b[0]),
+                      T2=as_bytes(T_b[1]), taux=ints[0], mu=ints[1],
+                      t_hat=ints[2], ip=ip)
+
+
+# --- zero-sync verifier ------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _verify_fn(n: int):
+    """One-dispatch verifier with ON-DEVICE challenge derivation.
+
+    vmap-able over a leading proof batch for single-program batch
+    verification (each proof keeps its own transcript/challenge stream)."""
+    k = n.bit_length() - 1
+    npts = 5 + 2 * k
+    two_n = SC.from_ints([pow(2, i, S.ELL) for i in range(n)])
+    sum_2 = SC.from_int((1 << n) - 1)
+    bit_tab = np.zeros((k, n), dtype=bool)          # bit (k-1-j) of i
+    for j in range(k):
+        bit_tab[j] = (np.arange(n) >> (k - 1 - j)) & 1
+
+    def fn(pts_bytes, taux, mu, t_hat, a_sc, b_sc, r1, r2, G, H, g, h):
+        """pts_bytes: uint8 [npts, 32] = [V A S T1 T2 L0..Lk-1 R0..Rk-1]."""
+        G, H = C.GE(*G), C.GE(*H)
+        g, h = C.GE(*g), C.GE(*h)
+        pts, valid = C.from_bytes(pts_bytes)
+        valid = jnp.logical_and(valid, ~C.is_small_order(pts))
+
+        tr = DeviceTranscript(b"tpu-bulletproofs/range")
+        tr.append(b"n", n.to_bytes(4, "little"))
+        tr.append_point(b"V", pts_bytes[0])
+        tr.append_point(b"A", pts_bytes[1])
+        tr.append_point(b"S", pts_bytes[2])
+        y = tr.challenge(DOMAIN_Y)
+        z = tr.challenge(DOMAIN_Z)
+        tr.append_point(b"T1", pts_bytes[3])
+        tr.append_point(b"T2", pts_bytes[4])
+        x = tr.challenge(DOMAIN_X)
+        tr.append_scalar(b"taux", taux)
+        tr.append_scalar(b"mu", mu)
+        tr.append_scalar(b"t", t_hat)
+        w = tr.challenge(DOMAIN_Q)
+        us = []
+        for j in range(k):
+            tr.append_point(b"ipL", pts_bytes[5 + j])
+            tr.append_point(b"ipR", pts_bytes[5 + k + j])
+            us.append(tr.challenge(IPA_DOMAIN))
+
+        # fold scalars s_i = prod_j u_j^{+-1}; s_inv = reversed(s)
+        s = SC.ones((n,))
+        us_inv = []
+        for j in range(k):
+            u_inv = SC.invert(us[j])
+            us_inv.append(u_inv)
+            pick = jnp.where(jnp.asarray(bit_tab[j])[:, None],
+                             us[j][None], u_inv[None])
+            s = SC.mul(s, pick)
+        s_inv = s[::-1]
+
+        z2 = SC.sq(z)
+        x2 = SC.sq(x)
+        y_n = SC.powers(y, n)
+        y_inv_pows = SC.powers(SC.invert(y), n)
+        # delta = (z - z^2) <1, y^n> - z^3 <1, 2^n>
+        delta = SC.sub(SC.mul(SC.sub(z, z2), SC.sum_mod(y_n)),
+                       SC.mul(SC.mul(z2, z), sum_2))
+
+        # merged random-linear-combination scalars (rangeproof.verify layout:
+        # [G(n) | H(n) | g h V A S T1 T2 | L | R])
+        g_sc = SC.mul(SC.add(SC.mul(a_sc[None], s), z[None]), r2[None])
+        h_in = SC.sub(SC.mul(SC.mul(b_sc[None], s_inv), y_inv_pows),
+                      SC.add(z[None], SC.mul(SC.mul(z2[None], two_n),
+                                             y_inv_pows)))
+        h_sc = SC.mul(h_in, r2[None])
+        sc_g = SC.add(SC.mul(r1, SC.sub(t_hat, delta)),
+                      SC.mul(r2, SC.mul(SC.sub(SC.mul(a_sc, b_sc), t_hat), w)))
+        sc_h = SC.add(SC.mul(r1, taux), SC.mul(r2, mu))
+        sc_v = SC.neg(SC.mul(r1, z2))
+        sc_a = SC.neg(r2)
+        sc_s = SC.neg(SC.mul(r2, x))
+        sc_t1 = SC.neg(SC.mul(r1, x))
+        sc_t2 = SC.neg(SC.mul(r1, x2))
+        lr_sc = [SC.neg(SC.mul(r2, SC.sq(u))) for u in us] + \
+                [SC.neg(SC.mul(r2, SC.sq(ui))) for ui in us_inv]
+
+        singles = C.GE(*(jnp.stack([gc, hc, c[0], c[1], c[2], c[3], c[4]])
+                         for gc, hc, c in zip(g, h, pts)))
+        lr_pts = C.GE(*(c[5:] for c in pts))
+        bases = C.GE(*(jnp.concatenate([gc, hc, sc, lc], axis=0)
+                       for gc, hc, sc, lc in zip(G, H, singles, lr_pts)))
+        scalars = jnp.concatenate(
+            [g_sc, h_sc,
+             jnp.stack([sc_g, sc_h, sc_v, sc_a, sc_s, sc_t1, sc_t2]),
+             jnp.stack(lr_sc) if lr_sc
+             else jnp.zeros((0, SC.SL), SC.DTYPE)], axis=0)
+        res = C.mul8(_msm_point(bases, scalars))     # cofactored check
+        return jnp.logical_and(jnp.all(valid), C.is_identity(res))
+
+    del npts
+    return jax.jit(fn), fn
+
+
+def _proof_arrays(proof: RangeProof):
+    blobs = [proof.V, proof.A, proof.S, proof.T1, proof.T2] + \
+        list(proof.ip.L) + list(proof.ip.R)
+    pts = jnp.asarray(np.stack(
+        [np.frombuffer(b, dtype=np.uint8) for b in blobs]))
+    sc = [SC.from_int(v % S.ELL) for v in
+          (proof.taux, proof.mu, proof.t_hat, proof.ip.a, proof.ip.b)]
+    return pts, sc
+
+
+def _structure_ok(proof: RangeProof, gens: Generators) -> bool:
+    n = proof.n
+    if n < 1 or n & (n - 1) != 0 or proof.ip.n != n:
+        return False
+    if len(proof.ip.L) != len(proof.ip.R) or (1 << len(proof.ip.L)) != n:
+        return False
+    if any(len(b) != 32 for b in
+           [proof.V, proof.A, proof.S, proof.T1, proof.T2, *proof.ip.L,
+            *proof.ip.R]):
+        return False
+    return gens.n >= n
+
+
+def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
+    """Fully-on-device verification: ONE dispatch, challenges included."""
+    import secrets
+    from .. import config
+    config.require_exact()
+    gens = gens or get_generators(proof.n)
+    if not _structure_ok(proof, gens):
+        return False
+    n = proof.n
+    G = C.GE(*(c[:n] for c in gens.G))
+    H = C.GE(*(c[:n] for c in gens.H))
+    pts, sc = _proof_arrays(proof)
+    r1 = SC.from_int(secrets.randbelow(S.ELL - 1) + 1)
+    r2 = SC.from_int(secrets.randbelow(S.ELL - 1) + 1)
+    jfn, _ = _verify_fn(n)
+    return bool(jfn(pts, *sc, r1, r2, tuple(G), tuple(H),
+                    tuple(gens.g), tuple(gens.h)))
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_verify_fn(n: int, body):
+    """jit(vmap(verifier)) cached per proof size so repeated batch calls
+    reuse one compiled program (batch size still recompiles per shape)."""
+    return jax.jit(jax.vmap(
+        body, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None)))
+
+
+def batch_verify(proofs, gens: Generators | None = None) -> bool:
+    """k same-size proofs in ONE dispatch via vmap over the verifier program
+    (each proof gets its own device-derived challenge stream)."""
+    import secrets
+    from .. import config
+    config.require_exact()
+    if not proofs:
+        return True
+    n = proofs[0].n
+    gens = gens or get_generators(n)
+    if any(p.n != n or not _structure_ok(p, gens) for p in proofs):
+        return False
+    G = C.GE(*(c[:n] for c in gens.G))
+    H = C.GE(*(c[:n] for c in gens.H))
+    pts_l, sc_l = zip(*(_proof_arrays(p) for p in proofs))
+    pts = jnp.stack(pts_l)                           # [k, npts, 32]
+    scs = [jnp.stack([s[i] for s in sc_l]) for i in range(5)]
+    r1 = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in proofs])
+    r2 = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in proofs])
+    _, body = _verify_fn(n)
+    vfn = _batch_verify_fn(n, body)
+    out = vfn(pts, *scs, r1, r2, tuple(G), tuple(H),
+              tuple(gens.g), tuple(gens.h))
+    return bool(jnp.all(out))

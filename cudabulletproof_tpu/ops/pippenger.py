@@ -267,6 +267,10 @@ def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
         order = jnp.arange(n, dtype=jnp.int32)   # timing-only: wrong results
     elif config.MSM_RADIX_SORT:
         order = _radix_argsort(digits, w)
+    elif config.MSM_PALLAS_SORT and n % 1024 == 0:
+        from . import pallas_sort
+        order = pallas_sort.grouping_order(
+            digits, w, config.MSM_PALLAS_SORT_BITS)
     else:
         order = jnp.argsort(digits)
     if (config.MSM_CHUNKED_SCAN and not config.MSM_TIMING_STAGE

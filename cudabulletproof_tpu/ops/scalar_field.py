@@ -257,6 +257,9 @@ _KSUB = _dominating_multiple(WEAK, SL, SL + 2)
 
 @jax.jit
 def sub(a: jax.Array, b: jax.Array) -> jax.Array:
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, batch + (SL,))
+    b = jnp.broadcast_to(b, batch + (SL,))
     k = jnp.asarray(_KSUB)
     y = k - _pad_last(b, len(_KSUB) - SL)
     y = y.at[..., :SL].add(a)

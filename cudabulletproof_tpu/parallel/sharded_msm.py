@@ -1,16 +1,24 @@
-"""Multi-chip MSM: points sharded over the mesh, one collective at the end.
+"""Multi-chip MSM: points sharded over the mesh, one fold at the end.
 
 Decomposition: MSM is a sum over points, so shard the points (the "data
-parallel" axis of this workload — SURVEY.md §2.7's DP analog).  Each chip runs
-the full local bucket-method MSM over its shard; the per-chip partial results
-(single points, ~3 KB) are all_gather'd over ICI and tree-reduced redundantly
-on every chip.  Communication is O(n_devices) points regardless of n, so
-scaling efficiency at large n is bucket-work-bound (target >=80% at 2^20 on
-2 hosts, BASELINE.md).
+parallel" axis of this workload — SURVEY.md §2.7's DP analog).  Each chip
+runs the full local bucket-method MSM over its shard inside shard_map and
+returns its single partial point with a sharded out_spec; the cross-chip
+fold is a tiny tree reduction OUTSIDE the shard_map, where XLA inserts the
+(one) gather over ICI itself.  Communication is O(n_devices) points
+(~3 KB each) regardless of n, so scaling efficiency at large n is
+bucket-work-bound (target >=80% at 2^20 on 2 hosts, BASELINE.md).
 
-Note on collectives: curve addition is a custom monoid, so `psum` (which sums
-int lanes) cannot combine partial *points*; all_gather + local fold is the
-correct XLA-native reduction here and costs one tiny collective.
+Design notes:
+  * No `check_vma=False` escape hatch (round-1 verdict): the local body
+    emits per-device partials (out_specs P(axis)), which variance analysis
+    types natively — replication claims are never asserted, they fall out
+    of the outer fold.
+  * `psum` cannot combine partial *points* (curve addition is a custom
+    monoid over int32 limb pytrees, not lane-wise integer addition), hence
+    partials-out + fold instead of an in-map collective.
+  * n not divisible by the axis size is handled by identity-point padding
+    (zero scalars), mirroring ops/msm.py's power-of-two padding.
 """
 from __future__ import annotations
 
@@ -18,37 +26,75 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import curve as C, field as F, msm as M, pippenger
 
 
-def _local_then_gather(points: C.GE, scalars: jax.Array, axis: str, w: int):
+def _local_partial(points: C.GE, scalars: jax.Array, w: int) -> C.GE:
+    """One device's shard -> its partial MSM point, shape [1] on the device
+    axis so the shard_map output is the [ndev] array of partials."""
     if w > 0:
         local = pippenger.msm_pippenger(points, scalars, w=w)
     else:
         local = M.msm(points, scalars)
-    gathered = jax.lax.all_gather(local, axis)     # GE [ndev]
-    return C.tree_reduce(gathered)
+    return C.GE(*(c[None] for c in local))
+
+
+def _pad_to_multiple(points: C.GE, scalars: jax.Array, k: int):
+    n = scalars.shape[0]
+    pad = (-n) % k
+    if pad == 0:
+        return points, scalars
+    pad_p = C.identity((pad,))
+    pad_s = jnp.zeros((pad, F.L), dtype=F.DTYPE)
+    points = C.GE(*(jnp.concatenate([a, b], 0) for a, b in zip(points, pad_p)))
+    return points, jnp.concatenate([scalars, pad_s], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "w"))
 def msm_sharded(points: C.GE, scalars: jax.Array, *, mesh: Mesh,
                 axis: str = "dp", w: int = 8) -> C.GE:
-    """Sharded MSM over `mesh`. n must be divisible by the axis size.
+    """Sharded MSM over `mesh`: sum_i scalars[i] * points[i].
 
-    points: GE [n] / scalars [n, 20], arbitrary placement (resharded here).
-    Returns a replicated GE.
+    points: GE [n] / scalars [n, 20] radix-2^13 limbs, arbitrary placement
+    (resharded here); n is identity-padded to a multiple of the axis size.
+    Returns a single (replicated) GE.
     """
-    fn = shard_map(
-        functools.partial(_local_then_gather, axis=axis, w=w),
+    ndev = mesh.shape[axis]
+    points, scalars = _pad_to_multiple(points, scalars, ndev)
+    ge_spec = C.GE(*(P(axis, None) for _ in range(4)))
+    partials = shard_map(
+        functools.partial(_local_partial, w=w),
         mesh=mesh,
-        in_specs=(C.GE(P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
-                  P(axis, None)),
-        out_specs=C.GE(P(None), P(None), P(None), P(None)),
-        # the result IS replicated (all_gather + identical local fold on every
-        # device), but VMA inference can't see through the gathered fold
-        check_vma=False,
-    )
-    return fn(points, scalars)
+        in_specs=(ge_spec, P(axis, None)),
+        out_specs=ge_spec,
+    )(points, scalars)                               # GE [ndev]
+    return C.tree_reduce(partials)
+
+
+def msm_sharded_ints(points: C.GE, scalars, *, mesh: Mesh,
+                     axis: str = "dp", w: int | None = None) -> C.GE:
+    """Protocol glue: python-int scalars (mod l) -> sharded MSM.
+
+    The per-device shard size (not the global n) picks the window width, and
+    the global n is padded so every device gets an equal power-of-two shard
+    — one compiled program per (shard-shape, w) reused across calls.
+    """
+    from .. import config
+    assert points.x.shape[0] == len(scalars), \
+        (points.x.shape[0], len(scalars))
+    ndev = mesh.shape[axis]
+    sc = F.from_ints([s % F.P for s in scalars])     # scalars < l < p: exact
+    # pad the global size to ndev * next_pow2(ceil(n/ndev))
+    shard = -(-len(scalars) // ndev)
+    m = 1
+    while m < shard:
+        m *= 2
+    points, sc = _pad_to_multiple(points, sc, ndev * max(m, 64))
+    local_n = sc.shape[0] // ndev
+    if w is None:
+        w = (config.msm_window_for(local_n)
+             if local_n >= config.MSM_PIPPENGER_MIN else 0)
+    return msm_sharded(points, sc, mesh=mesh, axis=axis, w=w)

@@ -58,6 +58,12 @@ def load():
     lib.bp_prove_range.restype = ctypes.c_size_t
     lib.bp_verify_range.argtypes = [u8p, ctypes.c_size_t]
     lib.bp_verify_range.restype = ctypes.c_int
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.bp_prove_agg.argtypes = [u64p, u8p, ctypes.c_uint32, ctypes.c_uint32,
+                                 u8p, ctypes.c_size_t]
+    lib.bp_prove_agg.restype = ctypes.c_size_t
+    lib.bp_verify_agg.argtypes = [u8p, ctypes.c_size_t]
+    lib.bp_verify_agg.restype = ctypes.c_int
     lib.bp_pedersen_commit.argtypes = [ctypes.c_uint64, u8p, ctypes.c_uint32, u8p]
     _lib = lib
     return lib
@@ -114,3 +120,21 @@ def prove_range(value: int, gamma: int, nbits: int) -> bytes | None:
 def verify_range(proof: bytes) -> bool:
     lib = load()
     return bool(lib.bp_verify_range(_buf(proof), len(proof)))
+
+
+def prove_agg(values: list, gammas: list, nbits: int) -> bytes | None:
+    """Aggregated proof over len(values) values (native host path)."""
+    import ctypes as ct
+    lib = load()
+    m = len(values)
+    assert len(gammas) == m
+    vals = (ct.c_uint64 * m)(*values)
+    gbytes = b"".join(g.to_bytes(32, "little") for g in gammas)
+    buf = _out(1 << 16)
+    glen = lib.bp_prove_agg(vals, _buf(gbytes), m, nbits, buf, 1 << 16)
+    return bytes(buf[:glen]) if glen else None
+
+
+def verify_agg(proof: bytes) -> bool:
+    lib = load()
+    return bool(lib.bp_verify_agg(_buf(proof), len(proof)))

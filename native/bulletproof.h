@@ -107,6 +107,26 @@ bool prove_range(RangeProof& out, uint64_t value, const sc& gamma, uint32_t nbit
                  const Generators& gens);
 bool verify_range(const RangeProof& proof, const Generators& gens);
 
+// --- aggregated proofs (m values, one proof; models/aggregate.py parity) -----
+struct AggregatedRangeProof {
+    uint32_t n;                                   // bits per value
+    uint32_t m;                                   // number of values
+    std::vector<std::array<uint8_t, 32>> V;      // m commitments
+    uint8_t A[32], S[32], T1[32], T2[32];
+    sc taux, mu, t_hat;
+    InnerProductProof ip;
+};
+
+// wire format (python utils/serialization.py::serialize_aggregated_proof):
+//   u32 n | u32 m | m*V | A S T1 T2 | taux mu t_hat | u32 k | k*(L,R) | a b
+std::vector<uint8_t> serialize_agg(const AggregatedRangeProof& p);
+bool deserialize_agg(AggregatedRangeProof& out, const uint8_t* data, size_t len);
+
+bool prove_agg(AggregatedRangeProof& out, const uint64_t* values,
+               const sc* gammas, uint32_t m, uint32_t nbits,
+               const Generators& gens);
+bool verify_agg(const AggregatedRangeProof& proof, const Generators& gens);
+
 sc sc_random();
 
 }  // namespace bp

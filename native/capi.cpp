@@ -138,6 +138,28 @@ int bp_verify_range(const uint8_t* proof, size_t len) {
     return verify_range(p, gens_for(p.n)) ? 1 : 0;
 }
 
+// aggregated proofs: m values share one proof over n*m generators
+// (models/aggregate.py parity).  Returns proof length or 0 on failure.
+size_t bp_prove_agg(const uint64_t* values, const uint8_t* gammas32,
+                    uint32_t m, uint32_t nbits, uint8_t* proof_buf,
+                    size_t buf_len) {
+    AggregatedRangeProof p;
+    std::vector<sc> gammas(m);
+    for (uint32_t j = 0; j < m; j++) gammas[j] = sc_from_bytes(gammas32 + 32 * j);
+    if (!prove_agg(p, values, gammas.data(), m, nbits, gens_for(nbits * m)))
+        return 0;
+    auto bytes = serialize_agg(p);
+    if (bytes.size() > buf_len) return 0;
+    memcpy(proof_buf, bytes.data(), bytes.size());
+    return bytes.size();
+}
+
+int bp_verify_agg(const uint8_t* proof, size_t len) {
+    AggregatedRangeProof p;
+    if (!deserialize_agg(p, proof, len)) return 0;
+    return verify_agg(p, gens_for(p.n * p.m)) ? 1 : 0;
+}
+
 // commitment for cross-checking: out = value*g + gamma*h
 void bp_pedersen_commit(uint64_t value, const uint8_t* gamma32, uint32_t nbits,
                         uint8_t* out) {
