@@ -41,13 +41,31 @@ from .rangeproof import (DOMAIN_Q, DOMAIN_X, DOMAIN_Y, DOMAIN_Z, ProveError,
 IPA_DOMAIN = ipa_mod.IPA_DOMAIN
 
 
+def _ladder(points: C.GE, fl: jax.Array) -> C.GE:
+    """Batched scalarmult, ALWAYS on the fused Pallas VMEM ladder.
+
+    C.scalarmult falls back to the XLA fori_loop ladder below
+    config.PALLAS_CURVE_MIN lanes, which XLA recompute-fuses into a ~200x
+    slower chain — fatal here, where the prover's V/T MSMs have batch 2-4
+    (measured: 221 ms warm 8-bit fused prove before this routing).  A
+    single partially-filled 256-lane ladder tile costs the same as a full
+    one and is still ~one kernel."""
+    from ..ops import pallas_curve as PC
+    batch = jnp.broadcast_shapes(points.batch_shape, fl.shape[:-1])
+    pb = C.GE(*(jnp.broadcast_to(c, batch + (F.L,)).reshape(-1, F.L)
+                for c in points))
+    out = PC.scalarmult_raw(pb, jnp.broadcast_to(
+        fl, batch + (F.L,)).reshape(-1, F.L))
+    return C.GE(*(c.reshape(batch + (F.L,)) for c in out))
+
+
 def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
     """B MSMs over shared bases, compressed: points GE [m], sc [B, m, SL]
     scalar limbs -> uint8 [B, 32].  One batch inversion for the B results."""
     B, m = sc.shape[0], sc.shape[1]
     fl = SC.to_field_limbs(sc)                       # [B, m, 20]
     pb = C.GE(*(jnp.broadcast_to(c, (B, m, F.L)) for c in points))
-    acc = C.scalarmult(pb, fl)                       # GE [B, m]
+    acc = _ladder(pb, fl)                            # GE [B, m]
     m2 = 1
     while m2 < m:
         m2 *= 2
@@ -68,7 +86,7 @@ def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
 def _msm_point(points: C.GE, sc: jax.Array) -> C.GE:
     """One MSM returning the raw point: points GE [m], sc [m, SL] limbs."""
     fl = SC.to_field_limbs(sc)
-    acc = C.scalarmult(points, fl)
+    acc = _ladder(points, fl)
     return C.tree_reduce(acc)
 
 

@@ -60,27 +60,41 @@ def _rotr(x, r: int):
 
 def _compress(state, w):
     """One SHA-256 compression: state [..., 8] u32, w [..., 16] u32 (one
-    512-bit block, big-endian words).  Returns new state."""
-    ws = [w[..., i] for i in range(16)]
-    a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
-    for t in range(64):
-        if t < 16:
-            wt = ws[t]
-        else:
-            w15 = ws[(t - 15) % 16]
-            w2 = ws[(t - 2) % 16]
+    512-bit block, big-endian words).  Returns new state.
+
+    Structured as a fori_loop over 4 chunks of 16 rounds sharing ONE traced
+    body: the transcript hashes ~50 blocks per fused proof, and a fully
+    unrolled compression made the prover's StableHLO ~260k lines (~170k
+    scalar u32 ops), wedging the TPU compile for >25 min.  The in-place
+    16-word circular message schedule advances one chunk per iteration."""
+    ws = tuple(w[..., i] for i in range(16))
+    digest = tuple(state[..., i] for i in range(8))
+    kall = jnp.asarray(_K)
+
+    def chunk(i, carry):
+        (a, b, c, d, e, f, g, h), nw = carry
+        kblk = jax.lax.dynamic_slice_in_dim(kall, i * 16, 16)
+        for j in range(16):
+            S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + kblk[j] + nw[j]
+            S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = S0 + maj
+            a, b, c, d, e, f, g, h = t1 + t2, a, b, c, t1 + d, e, f, g
+        # next chunk's schedule (W[t] = W[t-16] + s0(W[t-15]) + W[t-7]
+        # + s1(W[t-2]); in-place circular buffer, indices < j already new)
+        nw = list(nw)
+        for j in range(16):
+            w15 = nw[(j + 1) % 16]
+            w2 = nw[(j + 14) % 16]
             s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> U32(3))
             s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> U32(10))
-            wt = ws[t % 16] + s0 + ws[(t - 7) % 16] + s1
-            ws[t % 16] = wt
-        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
-        ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + U32(int(_K[t])) + wt
-        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-        maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = S0 + maj
-        a, b, c, d, e, f, g, h = t1 + t2, a, b, c, t1 + d, e, f, g
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+            nw[j] = nw[j] + s0 + nw[(j + 9) % 16] + s1
+        return (a, b, c, d, e, f, g, h), tuple(nw)
+
+    digest, _ = jax.lax.fori_loop(0, 4, chunk, (digest, ws))
+    out = jnp.stack(digest, axis=-1)
     return state + out
 
 
@@ -126,8 +140,15 @@ def sha256(msg: jax.Array) -> jax.Array:
     full = jnp.concatenate([msg, tail_arr], axis=-1)
     words = _bytes_to_words(full)                 # [..., 16*blocks]
     state = jnp.broadcast_to(jnp.asarray(_H0), msg.shape[:-1] + (8,))
-    for blk in range(blocks):
-        state = _compress(state, words[..., 16 * blk:16 * (blk + 1)])
+    if blocks == 1:
+        return _words_to_bytes(_compress(state, words))
+    # fori_loop over blocks: ONE compression body per sha256 call in the
+    # HLO (a fused proof hashes ~50 blocks; unrolling them all dominated
+    # the program size and TPU compile time)
+    wblk = words.reshape(words.shape[:-1] + (blocks, 16))
+    state = jax.lax.fori_loop(
+        0, blocks,
+        lambda i, s: _compress(s, jnp.take(wblk, i, axis=-2)), state)
     return _words_to_bytes(state)
 
 
