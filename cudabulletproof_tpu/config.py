@@ -35,6 +35,10 @@ def _env_flag(name: str, default: bool = False) -> bool:
 # Route batched curve ops through the fused Pallas kernels on TPU (measured
 # ~200x over XLA for inlined add chains, which XLA recompute-fuses).
 PALLAS_CURVE = _env_flag("PALLAS_CURVE", True)
+# Pallas scalarmult kernel: 4 = fixed-window tableized ladder (16-entry
+# one-hot table, dedicated 4S+4M doubles; ~2x the binary ladder), 0 = plain
+# binary double-and-add (ops/pallas_curve.py).
+PALLAS_LADDER_WINDOW = _env_int("PALLAS_LADDER_WINDOW", 4)
 # Minimum flattened batch size for the Pallas point path (below this the
 # 256-lane tile padding outweighs the fusion win).
 PALLAS_CURVE_MIN = _env_int("PALLAS_CURVE_MIN", 32)
@@ -60,8 +64,11 @@ MSM_RADIX_BITS = _env_int("MSM_RADIX_BITS", 5)
 # Partition points by digit with the Pallas counting-rank kernel
 # (ops/pallas_sort.py: VMEM-resident per-(sublane,lane) counters, one key
 # read per pass) instead of XLA argsort.  Requires n % 1024 == 0; falls back
-# to argsort otherwise.
-MSM_PALLAS_SORT = _env_flag("MSM_PALLAS_SORT", True)
+# to argsort otherwise.  Measured SLOWER than argsort on v5e at 2^16/w=13
+# (385K pts/s at bits=7, 354K at bits=5, vs 477K with argsort, 2026-08-17):
+# the per-pass [n] index scatter + gather relayouts cost more than the
+# comparison sort saves.  Kept off for A/B and future fusion into the scan.
+MSM_PALLAS_SORT = _env_flag("MSM_PALLAS_SORT", False)
 # Sub-key width per Pallas counting pass (radix = 2^bits counters in VMEM).
 MSM_PALLAS_SORT_BITS = _env_int("MSM_PALLAS_SORT_BITS", 7)
 # Timing-only: skip the digit sort (produces WRONG results) to isolate the

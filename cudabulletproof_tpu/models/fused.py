@@ -41,6 +41,41 @@ from .rangeproof import (DOMAIN_Q, DOMAIN_X, DOMAIN_Y, DOMAIN_Z, ProveError,
 IPA_DOMAIN = ipa_mod.IPA_DOMAIN
 
 
+# --- packed argument I/O ------------------------------------------------------
+# The TPU tunnel charges ~0.5-2 ms PER ARGUMENT at dispatch (measured: a
+# device-resident-args verify call cost 73 ms against a 29 ms empty-dispatch
+# floor with 24 array arguments; benchmarks/bench_fused_latency.py).  All
+# fused entry points therefore take exactly THREE arrays: a packed generator
+# table (device-cached per Generators), one uint8 proof/witness blob, and the
+# randomness — and the prover returns ONE uint8 blob.
+
+def _gens_pack(gens: Generators, n: int) -> jax.Array:
+    """[2n+2, 80] int32: rows = G[:n] | H[:n] | g | h, each x|y|z|t flattened.
+    Cached on the Generators object (frozen dataclass -> object.__setattr__;
+    get_generators instances are lru_cached, so the cache lives with them)."""
+    packs = getattr(gens, "_fused_packs", None)
+    if packs is None:
+        object.__setattr__(gens, "_fused_packs", {})
+        packs = gens._fused_packs
+    if n not in packs:
+        G = C.GE(*(c[:n] for c in gens.G))
+        H = C.GE(*(c[:n] for c in gens.H))
+        rows = jnp.concatenate([
+            jnp.concatenate(list(G), axis=-1),
+            jnp.concatenate(list(H), axis=-1),
+            jnp.concatenate(list(gens.g), axis=-1)[None],
+            jnp.concatenate(list(gens.h), axis=-1)[None]], axis=0)
+        packs[n] = jax.device_put(rows)
+    return packs[n]
+
+
+def _unpack_gens(gp: jax.Array, n: int):
+    def ge(rows):
+        return C.GE(rows[..., 0:F.L], rows[..., F.L:2 * F.L],
+                    rows[..., 2 * F.L:3 * F.L], rows[..., 3 * F.L:4 * F.L])
+    return ge(gp[:n]), ge(gp[n:2 * n]), ge(gp[2 * n]), ge(gp[2 * n + 1])
+
+
 def _ladder(points: C.GE, fl: jax.Array) -> C.GE:
     """Batched scalarmult, ALWAYS on the fused Pallas VMEM ladder.
 
@@ -114,10 +149,15 @@ def _prove_fn(n: int):
     rounds = _ipa_masks(n)
 
     @jax.jit
-    def fn(G, H, g, h, aL_bits, value_sc, blinding, sL, sR,
-           alpha, rho, tau1, tau2):
-        G, H = C.GE(*G), C.GE(*H)
-        g, h = C.GE(*g), C.GE(*h)
+    def fn(gp, aL_bits, scp):
+        """gp: packed generators [2n+2, 80]; aL_bits: [n] int32;
+        scp: [2n+6, SL] = [value, blinding, alpha, rho, tau1, tau2,
+        sL(n), sR(n)].  Returns ONE uint8 [5+2k+5, 32] blob:
+        V A S T1 T2 | L R | taux mu t_hat a b."""
+        G, H, g, h = _unpack_gens(gp, n)
+        value_sc, blinding, alpha, rho, tau1, tau2 = (
+            scp[i] for i in range(6))
+        sL, sR = scp[6:6 + n], scp[6 + n:6 + 2 * n]
         tr = DeviceTranscript(b"tpu-bulletproofs/range")
         tr.append(b"n", n.to_bytes(4, "little"))
 
@@ -209,7 +249,8 @@ def _prove_fn(n: int):
               if L_bytes else jnp.zeros((0, 32), jnp.uint8))
         scalars_out = SC.to_bytes(jnp.stack(
             [taux, mu, t_hat, a_vec[0], b_vec[0]]))
-        return (V_b, AS_b, T_b, lr, scalars_out)
+        return jnp.concatenate(
+            [V_b[None], AS_b, T_b, lr, scalars_out], axis=0)
 
     return fn
 
@@ -227,32 +268,27 @@ def prove(value: int, blinding: int, n: int,
         raise ProveError("n must be a power of two")
     gens = gens or get_generators(n)
     assert gens.n >= n
-    G = C.GE(*(c[:n] for c in gens.G))
-    H = C.GE(*(c[:n] for c in gens.H))
 
     aL_bits = jnp.asarray(
         np.array([(value >> i) & 1 for i in range(n)], dtype=np.int32))
-    sL = SC.from_ints([S.sc_random() for _ in range(n)])
-    sR = SC.from_ints([S.sc_random() for _ in range(n)])
-    alpha, rho, tau1, tau2 = (SC.from_int(S.sc_random()) for _ in range(4))
+    scp = SC.from_ints(
+        [value, blinding % S.ELL] + [S.sc_random() for _ in range(4)]
+        + [S.sc_random() for _ in range(2 * n)])
 
     fn = _prove_fn(n)
-    V_b, AS_b, T_b, lr, sc_out = fn(
-        tuple(G), tuple(H), tuple(gens.g), tuple(gens.h),
-        aL_bits, SC.from_int(value), SC.from_int(blinding % S.ELL),
-        sL, sR, alpha, rho, tau1, tau2)
+    blob = np.asarray(fn(_gens_pack(gens, n), aL_bits, scp))
 
-    V_b, AS_b, T_b, lr, sc_out = (np.asarray(a) for a in
-                                  (V_b, AS_b, T_b, lr, sc_out))
     k = n.bit_length() - 1
     as_bytes = lambda row: bytes(row.tolist())
-    ints = [int.from_bytes(as_bytes(r), "little") for r in sc_out]
+    ints = [int.from_bytes(as_bytes(blob[5 + 2 * k + j]), "little")
+            for j in range(5)]
     ip = ipa_mod.InnerProductProof(
-        n=n, L=[as_bytes(lr[j]) for j in range(k)],
-        R=[as_bytes(lr[k + j]) for j in range(k)], a=ints[3], b=ints[4])
-    return RangeProof(n=n, V=as_bytes(V_b), A=as_bytes(AS_b[0]),
-                      S=as_bytes(AS_b[1]), T1=as_bytes(T_b[0]),
-                      T2=as_bytes(T_b[1]), taux=ints[0], mu=ints[1],
+        n=n, L=[as_bytes(blob[5 + j]) for j in range(k)],
+        R=[as_bytes(blob[5 + k + j]) for j in range(k)],
+        a=ints[3], b=ints[4])
+    return RangeProof(n=n, V=as_bytes(blob[0]), A=as_bytes(blob[1]),
+                      S=as_bytes(blob[2]), T1=as_bytes(blob[3]),
+                      T2=as_bytes(blob[4]), taux=ints[0], mu=ints[1],
                       t_hat=ints[2], ip=ip)
 
 
@@ -271,10 +307,15 @@ def _verify_fn(n: int):
     for j in range(k):
         bit_tab[j] = (np.arange(n) >> (k - 1 - j)) & 1
 
-    def fn(pts_bytes, taux, mu, t_hat, a_sc, b_sc, r1, r2, G, H, g, h):
-        """pts_bytes: uint8 [npts, 32] = [V A S T1 T2 L0..Lk-1 R0..Rk-1]."""
-        G, H = C.GE(*G), C.GE(*H)
-        g, h = C.GE(*g), C.GE(*h)
+    def fn(blob, rnd, gp):
+        """blob: uint8 [(npts+5)*32] = [V A S T1 T2 L R | taux mu t_hat a b]
+        (scalars canonical 32-byte LE); rnd: [2, SL] nonzero RLC weights;
+        gp: packed generators [2n+2, 80]."""
+        pts_bytes = blob[:npts * 32].reshape(npts, 32)
+        sc5 = SC.from_bytes(blob[npts * 32:].reshape(5, 32))
+        taux, mu, t_hat, a_sc, b_sc = (sc5[i] for i in range(5))
+        r1, r2 = rnd[0], rnd[1]
+        G, H, g, h = _unpack_gens(gp, n)
         pts, valid = C.from_bytes(pts_bytes)
         valid = jnp.logical_and(valid, ~C.is_small_order(pts))
 
@@ -348,18 +389,17 @@ def _verify_fn(n: int):
         res = C.mul8(_msm_point(bases, scalars))     # cofactored check
         return jnp.logical_and(jnp.all(valid), C.is_identity(res))
 
-    del npts
     return jax.jit(fn), fn
 
 
-def _proof_arrays(proof: RangeProof):
-    blobs = [proof.V, proof.A, proof.S, proof.T1, proof.T2] + \
-        list(proof.ip.L) + list(proof.ip.R)
-    pts = jnp.asarray(np.stack(
-        [np.frombuffer(b, dtype=np.uint8) for b in blobs]))
-    sc = [SC.from_int(v % S.ELL) for v in
-          (proof.taux, proof.mu, proof.t_hat, proof.ip.a, proof.ip.b)]
-    return pts, sc
+def _proof_blob(proof: RangeProof) -> np.ndarray:
+    """ONE uint8 host array: point bytes then canonical scalar bytes (single
+    host->device transfer; the tunnel charges per argument)."""
+    parts = [proof.V, proof.A, proof.S, proof.T1, proof.T2] + \
+        list(proof.ip.L) + list(proof.ip.R) + \
+        [(v % S.ELL).to_bytes(32, "little") for v in
+         (proof.taux, proof.mu, proof.t_hat, proof.ip.a, proof.ip.b)]
+    return np.frombuffer(b"".join(bytes(b) for b in parts), dtype=np.uint8)
 
 
 def _structure_ok(proof: RangeProof, gens: Generators) -> bool:
@@ -384,22 +424,17 @@ def verify(proof: RangeProof, gens: Generators | None = None) -> bool:
     if not _structure_ok(proof, gens):
         return False
     n = proof.n
-    G = C.GE(*(c[:n] for c in gens.G))
-    H = C.GE(*(c[:n] for c in gens.H))
-    pts, sc = _proof_arrays(proof)
-    r1 = SC.from_int(secrets.randbelow(S.ELL - 1) + 1)
-    r2 = SC.from_int(secrets.randbelow(S.ELL - 1) + 1)
+    rnd = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in range(2)])
     jfn, _ = _verify_fn(n)
-    return bool(jfn(pts, *sc, r1, r2, tuple(G), tuple(H),
-                    tuple(gens.g), tuple(gens.h)))
+    return bool(jfn(jnp.asarray(_proof_blob(proof)), rnd,
+                    _gens_pack(gens, n)))
 
 
 @functools.lru_cache(maxsize=None)
 def _batch_verify_fn(n: int, body):
     """jit(vmap(verifier)) cached per proof size so repeated batch calls
     reuse one compiled program (batch size still recompiles per shape)."""
-    return jax.jit(jax.vmap(
-        body, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None)))
+    return jax.jit(jax.vmap(body, in_axes=(0, 0, None)))
 
 
 def batch_verify(proofs, gens: Generators | None = None) -> bool:
@@ -414,15 +449,10 @@ def batch_verify(proofs, gens: Generators | None = None) -> bool:
     gens = gens or get_generators(n)
     if any(p.n != n or not _structure_ok(p, gens) for p in proofs):
         return False
-    G = C.GE(*(c[:n] for c in gens.G))
-    H = C.GE(*(c[:n] for c in gens.H))
-    pts_l, sc_l = zip(*(_proof_arrays(p) for p in proofs))
-    pts = jnp.stack(pts_l)                           # [k, npts, 32]
-    scs = [jnp.stack([s[i] for s in sc_l]) for i in range(5)]
-    r1 = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in proofs])
-    r2 = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in proofs])
+    blobs = jnp.asarray(np.stack([_proof_blob(p) for p in proofs]))
+    rnd = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1
+                        for _ in range(2 * len(proofs))]).reshape(
+        len(proofs), 2, SC.SL)
     _, body = _verify_fn(n)
     vfn = _batch_verify_fn(n, body)
-    out = vfn(pts, *scs, r1, r2, tuple(G), tuple(H),
-              tuple(gens.g), tuple(gens.h))
-    return bool(jnp.all(out))
+    return bool(jnp.all(vfn(blobs, rnd, _gens_pack(gens, n))))

@@ -69,6 +69,24 @@ def _fsub(a, b):
 
 
 _fmul = PF._conv_fold
+_fsq = PF._conv_sq
+
+
+def _pdbl(p):
+    """Dedicated extended doubling (ge_p2_dbl formulas, a=-1): 4 squares +
+    4 muls vs the unified add's 9 muls — and squares use the symmetric
+    half-size convolution.  ~45% cheaper than _padd(p, p)."""
+    x, y, z = p[0:L], p[L:2 * L], p[2 * L:3 * L]
+    xx = _fsq(x)
+    yy = _fsq(y)
+    zz2 = PF._carry_relax(_fsq(z) * 2, 2)
+    xy2 = _fsub(_fsq(_fadd(x, y)), _fadd(xx, yy))   # 2xy
+    yp = _fadd(yy, xx)
+    zp = _fsub(yy, xx)
+    tp = _fsub(zz2, zp)
+    return jnp.concatenate(
+        [_fmul(xy2, tp), _fmul(yp, zp), _fmul(zp, tp), _fmul(xy2, yp)],
+        axis=0)
 
 
 def _padd(p, q, d2):
@@ -136,9 +154,7 @@ def _add_kernel(a_ref, b_ref, o_ref):
 
 
 def _double_kernel(a_ref, o_ref):
-    d2 = _const_fe(_D2_LIMBS, a_ref.shape[1])
-    a = a_ref[:, :]
-    o_ref[:, :] = _padd(a, a, d2)
+    o_ref[:, :] = _pdbl(a_ref[:, :])
 
 
 def _ladder_kernel(p_ref, s_ref, o_ref):
@@ -171,6 +187,45 @@ def _ladder_kernel(p_ref, s_ref, o_ref):
 
     acc, _ = jax.lax.fori_loop(
         0, L * W, body, (_identity_block(t), s_ref[:, :]))
+    o_ref[:, :] = acc
+
+
+def _ladder_win_kernel(p_ref, s_ref, o_ref):
+    """Batched fixed-window (w=4) scalarmult, VMEM-resident.
+
+    Per lane: build the 16-entry multiples table (7 dedicated doubles +
+    7 unified adds), then 65 windows of [4 dedicated doubles + 1 unified
+    add of the one-hot-selected table entry].  ~2x the binary ladder
+    (_ladder_kernel): 260 doubles stay but become 4S+4M each, and 260
+    conditional adds collapse to 65.  Same no-dynamic-indexing discipline:
+    the scalar tile shifts left 4 bits per window; the digit is always
+    limb 19's top nibble; table lookup is a 16-way one-hot select."""
+    t = p_ref.shape[1]
+    d2 = _const_fe(_D2_LIMBS, t)
+    p = p_ref[:, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, t), 0)
+
+    tab = [_identity_block(t), p]
+    for j in range(2, 16):
+        tab.append(_pdbl(tab[j // 2]) if j % 2 == 0
+                   else _padd(tab[j - 1], p, d2))
+
+    def body(i, carry):
+        acc, s = carry
+        dig = (s[L - 1:L, :] >> (W - 4)) & 15          # [1, t]
+        acc = _pdbl(_pdbl(_pdbl(_pdbl(acc))))
+        addend = tab[0]
+        for j in range(1, 16):
+            addend = jnp.where(dig == j, tab[j], addend)
+        acc = _padd(acc, addend, d2)
+        # shift the scalar register left 4 bits (limb carries via roll)
+        c = pltpu.roll(s >> (W - 4), shift=1, axis=0)
+        c = jnp.where(row == 0, 0, c)
+        s = ((s << 4) & MASK) + c
+        return acc, s
+
+    acc, _ = jax.lax.fori_loop(
+        0, (L * W) // 4, body, (_identity_block(t), s_ref[:, :]))
     o_ref[:, :] = acc
 
 
@@ -225,14 +280,20 @@ double = jax.jit(double_raw)
 
 
 def scalarmult_raw(p: C.GE, s: jax.Array) -> C.GE:
-    """Batched fused ladder: GE [n], scalars [n, 20] -> GE [n]."""
+    """Batched fused ladder: GE [n], scalars [n, 20] -> GE [n].
+
+    Kernel choice via config.PALLAS_LADDER_WINDOW: 4 = fixed-window tableized
+    ladder (default, ~2x), 0 = plain binary double-and-add."""
+    from .. import config
+    kernel = (_ladder_win_kernel if config.PALLAS_LADDER_WINDOW == 4
+              else _ladder_kernel)
     n = s.shape[0]
     nt = max(1, -(-n // LANES))
     npad = nt * LANES
     pt = _pad_lanes(_flatten(p), npad, fill=_identity_row())
     st = _pad_lanes(s, npad)
     out = pl.pallas_call(
-        _ladder_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((4 * L, npad), jnp.int32),
         grid=(nt,),
         in_specs=[

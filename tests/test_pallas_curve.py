@@ -56,3 +56,20 @@ def test_pallas_msm_matches_oracle(rng):
     for pt, s in zip(pts, sc):
         want = want + s * pt
     assert got == want
+
+
+def test_both_ladder_kernels_match_oracle(rng, monkeypatch):
+    """Pin the windowed (w=4) AND binary ladder kernels independently against
+    the python-int oracle (config.PALLAS_LADDER_WINDOW selects per trace)."""
+    import jax
+    from cudabulletproof_tpu import config
+    n = 3
+    pts = [oracle.hash_to_point(b"pclw", i) for i in range(n)]
+    sc = [1, oracle.ELL - 1, rng.randrange(oracle.ELL)]
+    want = [s * pt for pt, s in zip(pts, sc)]
+    for win in (4, 0):
+        monkeypatch.setattr(config, "PALLAS_LADDER_WINDOW", win)
+        jax.clear_caches()   # kernel choice is baked in at trace time
+        got = PC.scalarmult(C.from_oracle(pts), F.from_ints(sc))
+        assert C.to_oracle(got) == want, f"window={win}"
+    jax.clear_caches()
