@@ -46,6 +46,10 @@ PALLAS_CURVE_MIN = _env_int("PALLAS_CURVE_MIN", 32)
 # --- algorithm-selection thresholds (analog of MAX_SHARED_POINTS etc.) -------
 # MSMs below this size use the windowed (Straus) kernel; above, Pippenger.
 MSM_PIPPENGER_MIN = _env_int("MSM_PIPPENGER_MIN", 4096)
+# Inside the FUSED zero-sync programs (models/fused.py) the alternative to
+# Pippenger is the flat-cost Pallas ladder (8.6 us/pt); measured crossover
+# ~16K points (Pippenger: ~12 us/pt at 8K, 2.1 us/pt at 64K on v5e).
+FUSED_PIPPENGER_MIN = _env_int("FUSED_PIPPENGER_MIN", 16384)
 # Default Pippenger window bits (digit width) when not chosen per-size.
 MSM_WINDOW = _env_int("MSM_WINDOW", 8)
 # Default Straus window bits.

@@ -94,11 +94,33 @@ def _ladder(points: C.GE, fl: jax.Array) -> C.GE:
     return C.GE(*(c.reshape(batch + (F.L,)) for c in out))
 
 
+def _pippenger_rows(points: C.GE, fl: jax.Array) -> C.GE:
+    """B bucket-method MSMs: points GE [m] (shared) or [B, m] (per-row),
+    fl [B, m, 20] field-limb scalars -> GE [B].  Used inside the fused
+    programs above config.FUSED_PIPPENGER_MIN bases (measured crossover vs
+    the per-lane ladder: ladder = 8.6 us/pt flat, Pippenger ~12 us/pt at 8K
+    but 2.1 us/pt at 64K — the ladder wins until ~16K)."""
+    from .. import config
+    from ..ops import msm as M, pippenger
+    per_row = points.x.ndim == 3
+    outs = []
+    for b_i in range(fl.shape[0]):
+        row = C.GE(*(c[b_i] for c in points)) if per_row else points
+        pts_p, fl_p = M._pad_pow2(row, fl[b_i])
+        outs.append(pippenger.msm_pippenger(
+            pts_p, fl_p, w=config.msm_window_for(fl_p.shape[0])))
+    return C.GE(*(jnp.stack([o[i] for o in outs]) for i in range(4)))
+
+
 def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
-    """B MSMs over shared bases, compressed: points GE [m], sc [B, m, SL]
-    scalar limbs -> uint8 [B, 32].  One batch inversion for the B results."""
+    """B MSMs, compressed: points GE [m] (shared bases) or [B, m] (per-row),
+    sc [B, m, SL] scalar limbs -> uint8 [B, 32].  One batch inversion for
+    the B results."""
+    from .. import config
     B, m = sc.shape[0], sc.shape[1]
     fl = SC.to_field_limbs(sc)                       # [B, m, 20]
+    if m >= config.FUSED_PIPPENGER_MIN:
+        return C.to_bytes_batch(_pippenger_rows(points, fl))
     pb = C.GE(*(jnp.broadcast_to(c, (B, m, F.L)) for c in points))
     acc = _ladder(pb, fl)                            # GE [B, m]
     m2 = 1
@@ -120,7 +142,11 @@ def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
 
 def _msm_point(points: C.GE, sc: jax.Array) -> C.GE:
     """One MSM returning the raw point: points GE [m], sc [m, SL] limbs."""
+    from .. import config
     fl = SC.to_field_limbs(sc)
+    if fl.shape[0] >= config.FUSED_PIPPENGER_MIN:
+        out = _pippenger_rows(points, fl[None])
+        return C.GE(*(c[0] for c in out))
     acc = _ladder(points, fl)
     return C.tree_reduce(acc)
 
@@ -227,13 +253,25 @@ def _prove_fn(n: int):
             c_L = SC.inner(a_L, b_R)
             c_R = SC.inner(a_R, b_L)
             hi_m = jnp.asarray(hi_mask)[:, None]
-            gl = jnp.where(hi_m, SC.mul(a_L[idx_a], wG), 0)
-            gr = jnp.where(hi_m, 0, SC.mul(a_R[idx_a], wG))
-            hl = jnp.where(hi_m, 0, SC.mul(b_R[idx_bR], wH))
-            hr = jnp.where(hi_m, SC.mul(b_L[idx_bL], wH), 0)
-            scL = jnp.concatenate([gl, hl, SC.mul(c_L, w)[None]], axis=0)
-            scR = jnp.concatenate([gr, hr, SC.mul(c_R, w)[None]], axis=0)
-            LR = _msm_compressed(bases, jnp.stack([scL, scR]))
+            # static supports: scL is nonzero only on G[hi], H[lo], g (and
+            # scR on the complement) — gather those N+1 bases/weights
+            # instead of a 2N+1 MSM with structural zeros (halves the
+            # dominant ladder-tile count per round)
+            hi_idx = np.where(hi_mask)[0]
+            lo_idx = np.where(~hi_mask)[0]
+            Nn = hi_mask.shape[0]
+            bidxL = np.concatenate([hi_idx, Nn + lo_idx, [2 * Nn]])
+            bidxR = np.concatenate([lo_idx, Nn + hi_idx, [2 * Nn]])
+            basesLR = C.GE(*(jnp.stack([c[bidxL], c[bidxR]]) for c in bases))
+            scL = jnp.concatenate(
+                [SC.mul(a_L[idx_a[hi_idx]], wG[hi_idx]),
+                 SC.mul(b_R[idx_bR[lo_idx]], wH[lo_idx]),
+                 SC.mul(c_L, w)[None]], axis=0)
+            scR = jnp.concatenate(
+                [SC.mul(a_R[idx_a[lo_idx]], wG[lo_idx]),
+                 SC.mul(b_L[idx_bL[hi_idx]], wH[hi_idx]),
+                 SC.mul(c_R, w)[None]], axis=0)
+            LR = _msm_compressed(basesLR, jnp.stack([scL, scR]))
             tr.append_point(b"ipL", LR[0])
             tr.append_point(b"ipR", LR[1])
             u = tr.challenge(IPA_DOMAIN)
@@ -456,3 +494,323 @@ def batch_verify(proofs, gens: Generators | None = None) -> bool:
     _, body = _verify_fn(n)
     vfn = _batch_verify_fn(n, body)
     return bool(jnp.all(vfn(blobs, rnd, _gens_pack(gens, n))))
+
+
+# --- zero-sync AGGREGATED prover ----------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _prove_fn_agg(n: int, m: int):
+    """One-dispatch aggregated prover (m values, n bits each, N = n*m).
+
+    Transcript/domain parity with models/aggregate.py::prove (lockstep labels
+    "V%d"/"A"/"S"/"T1"/"T2", same challenge domains) — aggregate.verify, the
+    native C++ verifier, and _verify_fn_agg all accept its proofs.  Replaces
+    the host-Fiat-Shamir path's ~17 tunnel syncs with one dispatch: measured
+    4.82 s -> sub-second at N=4096 (BENCH.md)."""
+    N = n * m
+    rounds = _ipa_masks(N)
+    pow2_mod = SC.from_ints([pow(2, i % n, S.ELL) for i in range(N)])
+    blk = np.arange(N) // n                          # value block per index
+
+    @jax.jit
+    def fn(gp, aL_bits, scp):
+        """gp [2N+2, 80]; aL_bits [N] int32; scp [2m+4+2N, SL] =
+        [alpha, rho, tau1, tau2, values(m), gammas(m), sL(N), sR(N)].
+        Returns uint8 [m+4+2k+5, 32]: V(m) A S T1 T2 | L R | scalars."""
+        G, H, g, h = _unpack_gens(gp, N)
+        alpha, rho, tau1, tau2 = (scp[i] for i in range(4))
+        vals, gammas = scp[4:4 + m], scp[4 + m:4 + 2 * m]
+        sL = scp[4 + 2 * m:4 + 2 * m + N]
+        sR = scp[4 + 2 * m + N:]
+        tr = DeviceTranscript(b"tpu-bulletproofs/range-agg")
+        tr.append(b"n", n.to_bytes(4, "little"))
+        tr.append(b"m", m.to_bytes(4, "little"))
+
+        aL = SC.zeros((N,)).at[..., 0].set(aL_bits)
+        aR = SC.sub(aL, SC.ones((N,)))
+
+        gh = C.GE(*(jnp.stack([a, b]) for a, b in zip(g, h)))
+        V_b = _msm_compressed(gh, jnp.stack([vals, gammas], axis=1))  # [m,32]
+        for j in range(m):
+            tr.append_point(b"V%d" % j, V_b[j])
+        hGH = C.GE(*(jnp.concatenate([c1[None], c2, c3], axis=0)
+                     for c1, c2, c3 in zip(h, G, H)))
+        AS_b = _msm_compressed(
+            hGH, jnp.stack([
+                jnp.concatenate([alpha[None], aL, aR], axis=0),
+                jnp.concatenate([rho[None], sL, sR], axis=0)]))
+        tr.append_point(b"A", AS_b[0])
+        tr.append_point(b"S", AS_b[1])
+        y = tr.challenge(DOMAIN_Y)
+        z = tr.challenge(DOMAIN_Z)
+
+        y_N = SC.powers(y, N)
+        z2 = SC.sq(z)
+        z_pows = SC.powers(z, m)                     # [m]: z^j
+        zz_blk = SC.mul(z2[None], z_pows)[jnp.asarray(blk)]   # [N]: z^(2+j)
+        l0 = SC.sub(aL, z[None])
+        l1 = sL
+        r0 = SC.add(SC.mul(y_N, SC.add(aR, z[None])),
+                    SC.mul(zz_blk, pow2_mod))
+        r1 = SC.mul(y_N, sR)
+
+        t0 = SC.inner(l0, r0)
+        t2 = SC.inner(l1, r1)
+        t1 = SC.sub(SC.inner(SC.add(l0, l1), SC.add(r0, r1)),
+                    SC.add(t0, t2))
+
+        T_b = _msm_compressed(gh, jnp.stack([
+            jnp.stack([t1, tau1]), jnp.stack([t2, tau2])]))
+        tr.append_point(b"T1", T_b[0])
+        tr.append_point(b"T2", T_b[1])
+        x = tr.challenge(DOMAIN_X)
+
+        l_vec = SC.add(l0, SC.mul(l1, x[None]))
+        r_vec = SC.add(r0, SC.mul(r1, x[None]))
+        t_hat = SC.inner(l_vec, r_vec)
+        x2 = SC.sq(x)
+        taux = SC.add(
+            SC.add(SC.mul(tau2, x2), SC.mul(tau1, x)),
+            SC.mul(z2, SC.sum_mod(SC.mul(z_pows, gammas))))
+        mu = SC.add(alpha, SC.mul(rho, x))
+
+        tr.append_scalar(b"taux", taux)
+        tr.append_scalar(b"mu", mu)
+        tr.append_scalar(b"t", t_hat)
+        w = tr.challenge(DOMAIN_Q)
+
+        y_inv = SC.invert(y)
+        wH = SC.powers(y_inv, N)
+        wG = SC.ones((N,))
+        a_vec, b_vec = l_vec, r_vec
+        bases = C.GE(*(jnp.concatenate([c2, c3, c1[None]], axis=0)
+                       for c1, c2, c3 in zip(g, G, H)))   # [G | H | g]
+        L_bytes, R_bytes = [], []
+        for (hsz, hi_mask, idx_a, idx_bR, idx_bL) in rounds:
+            a_L, a_R = a_vec[:hsz], a_vec[hsz:]
+            b_L, b_R = b_vec[:hsz], b_vec[hsz:]
+            c_L = SC.inner(a_L, b_R)
+            c_R = SC.inner(a_R, b_L)
+            hi_m = jnp.asarray(hi_mask)[:, None]
+            # static supports: scL is nonzero only on G[hi], H[lo], g (and
+            # scR on the complement) — gather those N+1 bases/weights
+            # instead of a 2N+1 MSM with structural zeros (halves the
+            # dominant ladder-tile count per round)
+            hi_idx = np.where(hi_mask)[0]
+            lo_idx = np.where(~hi_mask)[0]
+            Nn = hi_mask.shape[0]
+            bidxL = np.concatenate([hi_idx, Nn + lo_idx, [2 * Nn]])
+            bidxR = np.concatenate([lo_idx, Nn + hi_idx, [2 * Nn]])
+            basesLR = C.GE(*(jnp.stack([c[bidxL], c[bidxR]]) for c in bases))
+            scL = jnp.concatenate(
+                [SC.mul(a_L[idx_a[hi_idx]], wG[hi_idx]),
+                 SC.mul(b_R[idx_bR[lo_idx]], wH[lo_idx]),
+                 SC.mul(c_L, w)[None]], axis=0)
+            scR = jnp.concatenate(
+                [SC.mul(a_R[idx_a[lo_idx]], wG[lo_idx]),
+                 SC.mul(b_L[idx_bL[hi_idx]], wH[hi_idx]),
+                 SC.mul(c_R, w)[None]], axis=0)
+            LR = _msm_compressed(basesLR, jnp.stack([scL, scR]))
+            tr.append_point(b"ipL", LR[0])
+            tr.append_point(b"ipR", LR[1])
+            u = tr.challenge(IPA_DOMAIN)
+            u_inv = SC.invert(u)
+            a_vec = SC.add(SC.mul(a_L, u[None]), SC.mul(a_R, u_inv[None]))
+            b_vec = SC.add(SC.mul(b_L, u_inv[None]), SC.mul(b_R, u[None]))
+            wG = jnp.where(hi_m, SC.mul(wG, u), SC.mul(wG, u_inv))
+            wH = jnp.where(hi_m, SC.mul(wH, u_inv), SC.mul(wH, u))
+            L_bytes.append(LR[0])
+            R_bytes.append(LR[1])
+
+        lr = (jnp.stack(L_bytes + R_bytes)
+              if L_bytes else jnp.zeros((0, 32), jnp.uint8))
+        scalars_out = SC.to_bytes(jnp.stack(
+            [taux, mu, t_hat, a_vec[0], b_vec[0]]))
+        return jnp.concatenate([V_b, AS_b, T_b, lr, scalars_out], axis=0)
+
+    return fn
+
+
+def prove_agg(values, blindings, n: int, gens=None):
+    """Single-dispatch aggregated TPU prover.  Wire-compatible with
+    aggregate.prove (same transcript, accepted by every verifier)."""
+    from .. import config
+    from .aggregate import AggregatedRangeProof, ProveError
+    config.require_exact()
+    m = len(values)
+    if m & (m - 1) != 0 or n & (n - 1) != 0:
+        raise ProveError("n and m must be powers of two")
+    if len(blindings) != m:
+        raise ProveError("values/blindings length mismatch")
+    for v in values:
+        if not validate_range_input(v, n):
+            raise ProveError(f"value out of range [0, 2^{n})")
+    N = n * m
+    gens = gens or get_generators(N)
+    assert gens.n >= N
+
+    aL_bits = jnp.asarray(np.array(
+        [(v >> i) & 1 for v in values for i in range(n)], dtype=np.int32))
+    scp = SC.from_ints(
+        [S.sc_random() for _ in range(4)]
+        + [v % S.ELL for v in values]
+        + [g % S.ELL for g in blindings]
+        + [S.sc_random() for _ in range(2 * N)])
+
+    blob = np.asarray(_prove_fn_agg(n, m)(_gens_pack(gens, N), aL_bits, scp))
+    k = N.bit_length() - 1
+    as_bytes = lambda row: bytes(row.tolist())
+    base = m + 4 + 2 * k
+    ints = [int.from_bytes(as_bytes(blob[base + j]), "little")
+            for j in range(5)]
+    ip = ipa_mod.InnerProductProof(
+        n=N, L=[as_bytes(blob[m + 4 + j]) for j in range(k)],
+        R=[as_bytes(blob[m + 4 + k + j]) for j in range(k)],
+        a=ints[3], b=ints[4])
+    return AggregatedRangeProof(
+        n=n, m=m, V=[as_bytes(blob[j]) for j in range(m)],
+        A=as_bytes(blob[m]), S=as_bytes(blob[m + 1]),
+        T1=as_bytes(blob[m + 2]), T2=as_bytes(blob[m + 3]),
+        taux=ints[0], mu=ints[1], t_hat=ints[2], ip=ip)
+
+
+# --- zero-sync AGGREGATED verifier --------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _verify_fn_agg(n: int, m: int):
+    """On-device aggregated verification: same merged random-linear-
+    combination multiexp as aggregate.verify (bases [G H g h V T1 T2 A S
+    L R]), challenges re-derived in-program."""
+    N = n * m
+    k = N.bit_length() - 1
+    npts = m + 4 + 2 * k
+    pow2_mod = SC.from_ints([pow(2, i % n, S.ELL) for i in range(N)])
+    sum_2 = SC.from_int((1 << n) - 1)
+    blk = np.arange(N) // n
+    bit_tab = np.zeros((k, N), dtype=bool)
+    for j in range(k):
+        bit_tab[j] = (np.arange(N) >> (k - 1 - j)) & 1
+
+    def fn(blob, rnd, gp):
+        pts_bytes = blob[:npts * 32].reshape(npts, 32)
+        sc5 = SC.from_bytes(blob[npts * 32:].reshape(5, 32))
+        taux, mu, t_hat, a_sc, b_sc = (sc5[i] for i in range(5))
+        r1, r2 = rnd[0], rnd[1]
+        G, H, g, h = _unpack_gens(gp, N)
+        pts, valid = C.from_bytes(pts_bytes)
+        valid = jnp.logical_and(valid, ~C.is_small_order(pts))
+
+        tr = DeviceTranscript(b"tpu-bulletproofs/range-agg")
+        tr.append(b"n", n.to_bytes(4, "little"))
+        tr.append(b"m", m.to_bytes(4, "little"))
+        for j in range(m):
+            tr.append_point(b"V%d" % j, pts_bytes[j])
+        tr.append_point(b"A", pts_bytes[m])
+        tr.append_point(b"S", pts_bytes[m + 1])
+        y = tr.challenge(DOMAIN_Y)
+        z = tr.challenge(DOMAIN_Z)
+        tr.append_point(b"T1", pts_bytes[m + 2])
+        tr.append_point(b"T2", pts_bytes[m + 3])
+        x = tr.challenge(DOMAIN_X)
+        tr.append_scalar(b"taux", taux)
+        tr.append_scalar(b"mu", mu)
+        tr.append_scalar(b"t", t_hat)
+        w = tr.challenge(DOMAIN_Q)
+        us = []
+        for j in range(k):
+            tr.append_point(b"ipL", pts_bytes[m + 4 + j])
+            tr.append_point(b"ipR", pts_bytes[m + 4 + k + j])
+            us.append(tr.challenge(IPA_DOMAIN))
+
+        s = SC.ones((N,))
+        us_inv = []
+        for j in range(k):
+            u_inv = SC.invert(us[j])
+            us_inv.append(u_inv)
+            pick = jnp.where(jnp.asarray(bit_tab[j])[:, None],
+                             us[j][None], u_inv[None])
+            s = SC.mul(s, pick)
+        s_inv = s[::-1]
+
+        z2 = SC.sq(z)
+        x2 = SC.sq(x)
+        y_N = SC.powers(y, N)
+        y_inv_pows = SC.powers(SC.invert(y), N)
+        z_pows = SC.powers(z, m)
+        zz_blk = SC.mul(z2[None], z_pows)[jnp.asarray(blk)]  # z^(2+j)
+        # delta_agg = (z - z^2) <1, y^N> - sum_j z^(3+j) <1, 2^n>
+        delta = SC.sub(
+            SC.mul(SC.sub(z, z2), SC.sum_mod(y_N)),
+            SC.mul(SC.mul(SC.mul(z2, z), SC.sum_mod(z_pows)), sum_2))
+
+        g_sc = SC.mul(SC.add(SC.mul(a_sc[None], s), z[None]), r2[None])
+        h_in = SC.sub(SC.mul(SC.mul(b_sc[None], s_inv), y_inv_pows),
+                      SC.add(z[None], SC.mul(SC.mul(zz_blk, pow2_mod),
+                                             y_inv_pows)))
+        h_sc = SC.mul(h_in, r2[None])
+        sc_g = SC.add(SC.mul(r1, SC.sub(t_hat, delta)),
+                      SC.mul(r2, SC.mul(SC.sub(SC.mul(a_sc, b_sc), t_hat), w)))
+        sc_h = SC.add(SC.mul(r1, taux), SC.mul(r2, mu))
+        sc_v = SC.neg(SC.mul(SC.mul(r1[None], z2[None]), z_pows))  # [m]
+        sc_t1 = SC.neg(SC.mul(r1, x))
+        sc_t2 = SC.neg(SC.mul(r1, x2))
+        sc_a = SC.neg(r2)
+        sc_s = SC.neg(SC.mul(r2, x))
+        lr_sc = [SC.neg(SC.mul(r2, SC.sq(u))) for u in us] + \
+                [SC.neg(SC.mul(r2, SC.sq(ui))) for ui in us_inv]
+
+        # bases order mirrors aggregate.verify:
+        # [G(N) | H(N) | g h | V(m) | T1 T2 A S | L R]
+        singles = C.GE(*(jnp.stack([gc, hc]) for gc, hc in zip(g, h)))
+        V_pts = C.GE(*(c[:m] for c in pts))
+        T1AS = C.GE(*(jnp.stack([c[m + 2], c[m + 3], c[m], c[m + 1]])
+                      for c in pts))
+        lr_pts = C.GE(*(c[m + 4:] for c in pts))
+        bases = C.GE(*(jnp.concatenate([gc, hc, sc_, vc, tc, lc], axis=0)
+                       for gc, hc, sc_, vc, tc, lc in
+                       zip(G, H, singles, V_pts, T1AS, lr_pts)))
+        scalars = jnp.concatenate(
+            [g_sc, h_sc, jnp.stack([sc_g, sc_h]), sc_v,
+             jnp.stack([sc_t1, sc_t2, sc_a, sc_s]),
+             jnp.stack(lr_sc)], axis=0)
+        res = C.mul8(_msm_point(bases, scalars))
+        return jnp.logical_and(jnp.all(valid), C.is_identity(res))
+
+    return jax.jit(fn), fn
+
+
+def _agg_proof_blob(proof) -> np.ndarray:
+    parts = list(proof.V) + [proof.A, proof.S, proof.T1, proof.T2] + \
+        list(proof.ip.L) + list(proof.ip.R) + \
+        [(v % S.ELL).to_bytes(32, "little") for v in
+         (proof.taux, proof.mu, proof.t_hat, proof.ip.a, proof.ip.b)]
+    return np.frombuffer(b"".join(bytes(b) for b in parts), dtype=np.uint8)
+
+
+def _agg_structure_ok(proof, gens) -> bool:
+    n, m = proof.n, proof.m
+    if n < 1 or m < 1 or n & (n - 1) != 0 or m & (m - 1) != 0:
+        return False
+    N = n * m
+    if proof.ip.n != N or len(proof.V) != m:
+        return False
+    if len(proof.ip.L) != len(proof.ip.R) or (1 << len(proof.ip.L)) != N:
+        return False
+    if any(len(b) != 32 for b in
+           [*proof.V, proof.A, proof.S, proof.T1, proof.T2,
+            *proof.ip.L, *proof.ip.R]):
+        return False
+    return gens.n >= N
+
+
+def verify_agg(proof, gens=None) -> bool:
+    """Fully-on-device aggregated verification: ONE dispatch."""
+    import secrets
+    from .. import config
+    config.require_exact()
+    N = proof.n * proof.m
+    gens = gens or get_generators(N)
+    if not _agg_structure_ok(proof, gens):
+        return False
+    rnd = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in range(2)])
+    jfn, _ = _verify_fn_agg(proof.n, proof.m)
+    return bool(jfn(jnp.asarray(_agg_proof_blob(proof)), rnd,
+                    _gens_pack(gens, N)))

@@ -1,0 +1,76 @@
+"""models/fused.py aggregated path: cross-checks vs models/aggregate.py.
+
+Same CPU-compile budget strategy as test_fused.py: the fused aggregated
+PROVER is a giant XLA program and is exercised on hardware by
+benchmarks/check_fused_agg_tpu.py (which also cross-verifies against the
+native C++ aggregated prover/verifier both directions); here the default
+suite covers the fused aggregated VERIFIER against host-prover proofs, plus
+wrapper structure checks, at tiny N.
+"""
+import dataclasses
+import os
+
+import jax
+import pytest
+
+from cudabulletproof_tpu.models import aggregate, fused
+from cudabulletproof_tpu.models.generators import get_generators
+from cudabulletproof_tpu.utils import scalars as S
+
+N_BITS, M_VALS = 2, 2   # N = 4
+
+_PROVE_OK = (os.environ.get("BP_FUSED_CPU_PROVE")
+             or jax.default_backend() == "tpu")
+needs_prove = pytest.mark.skipif(
+    not _PROVE_OK,
+    reason="fused agg prover XLA:CPU compile is impractical on 1 core; "
+           "covered on TPU by benchmarks/check_fused_agg_tpu.py")
+
+
+@pytest.fixture(scope="module")
+def gens():
+    return get_generators(N_BITS * M_VALS)
+
+
+@pytest.fixture(scope="module")
+def hproof(gens):
+    return aggregate.prove([1, 2], [S.sc_random() for _ in range(M_VALS)],
+                           N_BITS, gens)
+
+
+def test_host_agg_proof_accepted_by_fused_verify(gens, hproof):
+    assert fused.verify_agg(hproof, gens)
+
+
+def test_fused_agg_verify_rejects_tampering(gens, hproof):
+    bad = dataclasses.replace(hproof, t_hat=(hproof.t_hat + 1) % S.ELL)
+    assert not fused.verify_agg(bad, gens)
+    bad = dataclasses.replace(hproof, mu=(hproof.mu + 1) % S.ELL)
+    assert not fused.verify_agg(bad, gens)
+    bad_ip = dataclasses.replace(hproof.ip, a=(hproof.ip.a * 2) % S.ELL)
+    assert not fused.verify_agg(dataclasses.replace(hproof, ip=bad_ip), gens)
+
+
+def test_fused_agg_verify_structure_guards(gens, hproof):
+    # undersized generators -> False, not a shape error
+    small = get_generators(2)
+    assert not fused.verify_agg(hproof, small)
+    bad = dataclasses.replace(hproof, V=list(hproof.V)[:-1])
+    assert not fused.verify_agg(bad, gens)
+    bad = dataclasses.replace(hproof, A=hproof.A[:31])
+    assert not fused.verify_agg(bad, gens)
+
+
+@needs_prove
+def test_fused_agg_prove_roundtrip(gens):
+    proof = fused.prove_agg([1, 3], [S.sc_random() for _ in range(M_VALS)],
+                            N_BITS, gens)
+    assert fused.verify_agg(proof, gens)
+    assert aggregate.verify(proof, gens)
+
+
+@needs_prove
+def test_fused_agg_prove_rejects_out_of_range(gens):
+    with pytest.raises(Exception):
+        fused.prove_agg([1 << N_BITS, 0],
+                        [S.sc_random() for _ in range(M_VALS)], N_BITS, gens)
