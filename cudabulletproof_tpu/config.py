@@ -98,6 +98,13 @@ def require_exact() -> None:
 # with per-stage relayout overhead). Measured +85% MSM throughput at 2^16
 # on v5e (384K vs 207K points/s).
 MSM_CHUNKED_SCAN = _env_flag("MSM_CHUNKED_SCAN", True)
+# Run the chunked scans as ONE Pallas kernel (pallas_curve.seg_scan: grid
+# over scan steps, VMEM-carried accumulator) instead of a lax.scan of
+# per-step Pallas-add dispatches (round-2 verdict item 2: fuse the hot loop
+# into a single Mosaic program). TPU only; XLA path remains the oracle.
+MSM_PALLAS_SCAN = _env_flag("MSM_PALLAS_SCAN", True)
+# Force the scan kernel off-TPU (interpret mode) — for bit-exactness tests.
+MSM_PALLAS_SCAN_FORCE = _env_flag("MSM_PALLAS_SCAN_FORCE", False)
 # Chunk count for the chunked scan = batch width per sequential step
 # (sweep on v5e at 2^16: 128->350K, 256->367K, 512->373K, 1024->384K pts/s).
 MSM_SCAN_LANES = _env_int("MSM_SCAN_LANES", 1024)

@@ -9,7 +9,8 @@ ONE dispatch: proof bytes in, result out (VERDICT round-1 item 1).
 
 Bit-exactness contract: for the same appended bytes, DeviceTranscript.state
 equals Transcript.state and every challenge equals Transcript.challenge
-(tests/test_device_transcript.py runs them in lockstep).  Domain separators
+(tests/test_sha256.py::test_device_transcript_lockstep runs them in
+lockstep).  Domain separators
 are the reference's (bulletproof_challenge.cu:24-83): the device path proves
 the SAME statements as the host path, byte for byte.
 

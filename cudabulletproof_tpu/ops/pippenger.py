@@ -151,6 +151,30 @@ def _chunked_seg_scan(p_sorted: C.GE, head: jax.Array) -> C.GE:
     return C.GE(*(c[:n] for c in vfix))
 
 
+def _use_scan_kernel() -> bool:
+    """Route the chunked scans through the single Pallas kernel
+    (pallas_curve.seg_scan) on TPU: one Mosaic program for the whole scan
+    (VMEM-carried accumulator) instead of a lax.scan of per-step kernel
+    dispatches.  Off-TPU the XLA path is both the test oracle and faster
+    than interpret mode."""
+    import jax as _jax
+    from .. import config
+    return config.MSM_PALLAS_SCAN and (_jax.default_backend() == "tpu"
+                                       or config.MSM_PALLAS_SCAN_FORCE)
+
+
+def _kernel_scan(pc: C.GE, hc: jax.Array | None) -> C.GE:
+    """pc: GE [depth, lanes]; hc: [depth, lanes] head flags or None
+    (unsegmented) -> GE [depth, lanes] chunk-local scan values."""
+    from . import pallas_curve as PC
+    depth, lanes = pc.x.shape[0], pc.x.shape[1]
+    pt = jnp.concatenate(list(pc), axis=-1).transpose(0, 2, 1)
+    ht = (jnp.zeros((depth, 1, lanes), jnp.int32) if hc is None
+          else hc[:, None, :].astype(jnp.int32))
+    outs_t = PC.seg_scan(pt, ht)                  # [depth, 80, lanes]
+    return _unflat(outs_t.transpose(0, 2, 1))
+
+
 def _chunked_scan_full(p: C.GE) -> C.GE:
     """Unsegmented inclusive scan (curve monoid), correct at EVERY position.
 
@@ -168,7 +192,10 @@ def _chunked_scan_full(p: C.GE) -> C.GE:
         nxt = C.add(acc, row)
         return nxt, nxt
 
-    _, outs = jax.lax.scan(step, C.identity((lanes,)), pc)   # [depth, lanes]
+    if _use_scan_kernel():
+        outs = _kernel_scan(pc, None)
+    else:
+        _, outs = jax.lax.scan(step, C.identity((lanes,)), pc)  # [d, lanes]
     trail = C.GE(*(c[-1] for c in outs))                     # GE [lanes]
     S = jax.lax.associative_scan(C.add, trail, axis=0)
     idp = C.identity((1,))
@@ -220,15 +247,24 @@ def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
     head = jnp.concatenate([jnp.ones((1,), bool),
                             d_sorted[1:] != d_sorted[:-1]])
     order_c = order.reshape(lanes, depth).T          # [depth, lanes]
-    pc = _unflat(flat[order_c])                      # one gather, GE [d, l]
     hc = head.reshape(lanes, depth).T
 
-    def step(acc, inp):
-        row, h = inp
-        nxt = C.select(h, row, C.add(acc, row))
-        return nxt, nxt
+    if _use_scan_kernel():
+        # one gather straight into the kernel's step-major [depth, 80,
+        # lanes] layout, then the whole scan as ONE Mosaic program
+        pt = flat[order_c].transpose(0, 2, 1)
+        ht = hc[:, None, :].astype(jnp.int32)
+        from . import pallas_curve as PC
+        outs = _unflat(PC.seg_scan(pt, ht).transpose(0, 2, 1))
+    else:
+        pc = _unflat(flat[order_c])                  # one gather, GE [d, l]
 
-    _, outs = jax.lax.scan(step, C.identity((lanes,)), (pc, hc))
+        def step(acc, inp):
+            row, h = inp
+            nxt = C.select(h, row, C.add(acc, row))
+            return nxt, nxt
+
+        _, outs = jax.lax.scan(step, C.identity((lanes,)), (pc, hc))
 
     # cross-chunk carry fixup, addressed in chunk coordinates
     trail = C.GE(*(c[-1] for c in outs))             # GE [lanes]

@@ -3,14 +3,14 @@
 The reference is single-process single-GPU with no communication backend at
 all (SURVEY.md §2.7); the TPU-native scaling story is a jax.sharding.Mesh over
 ('host', 'chip') with shard_map-placed collectives riding ICI.  Multi-host
-entry is jax.distributed.initialize (call init_distributed() once per process
-before building meshes).
+processes call jax.distributed.initialize themselves before building meshes
+(see tests/distributed_worker.py for the 2-process bring-up).
 """
 from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -19,12 +19,3 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
         assert len(devs) >= n_devices, (len(devs), n_devices)
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
-
-
-def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
-    """Multi-host bring-up (no-op if single-process)."""
-    if num_processes and num_processes > 1:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)

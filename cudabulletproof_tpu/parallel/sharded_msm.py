@@ -87,12 +87,16 @@ def msm_sharded_ints(points: C.GE, scalars, *, mesh: Mesh,
         (points.x.shape[0], len(scalars))
     ndev = mesh.shape[axis]
     sc = F.from_ints([s % F.P for s in scalars])     # scalars < l < p: exact
-    # pad the global size to ndev * next_pow2(ceil(n/ndev))
+    # pad the global size to ndev * next_pow2(ceil(n/ndev)); no minimum-shard
+    # floor — a tiny verification MSM (e.g. ~20 points on 8 devices) must
+    # compile at its natural ~4-points-per-device shape, not balloon to
+    # 64/device (round-2 verdict: that floor made the multichip dryrun's
+    # XLA:CPU compile time out)
     shard = -(-len(scalars) // ndev)
     m = 1
     while m < shard:
         m *= 2
-    points, sc = _pad_to_multiple(points, sc, ndev * max(m, 64))
+    points, sc = _pad_to_multiple(points, sc, ndev * m)
     local_n = sc.shape[0] // ndev
     if w is None:
         w = (config.msm_window_for(local_n)
