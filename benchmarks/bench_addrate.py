@@ -31,7 +31,10 @@ from cudabulletproof_tpu.ops import pallas_curve as PC, pallas_field as PF
 from cudabulletproof_tpu.utils import oracle
 
 L = F.L
-K = 256          # chained ops per kernel invocation
+# chained ops per kernel invocation: must put execution time well above the
+# ~30 ms tunnel sync floor (4096 x 2048 lanes ~ 8.4 M adds ~ 135 ms at the
+# seg-scan-observed 62 M adds/s)
+K = int(os.environ.get("BP_ADDRATE_K", "4096"))
 
 
 def _relax(t, passes):
@@ -131,11 +134,17 @@ def run(op, lanes, mul_passes=5, add_passes=2, reps=10):
             interpret=PF._interpret(),
         )(flat)
 
-    go(flat).block_until_ready()             # compile
+    @jax.jit
+    def go_sum(flat):
+        # scalar-valued: through the tunnel, block_until_ready only confirms
+        # ENQUEUE; a value fetch is the only reliable sync (NOTES.md)
+        return jnp.sum(go(flat).astype(jnp.float32))
+
+    float(go_sum(flat))                      # compile + sync
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        go(flat).block_until_ready()
+        float(go_sum(flat))
         ts.append(time.perf_counter() - t0)
     t = statistics.median(ts)
     rate = K * lanes / t

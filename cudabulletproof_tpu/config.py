@@ -105,6 +105,29 @@ MSM_CHUNKED_SCAN = _env_flag("MSM_CHUNKED_SCAN", True)
 MSM_PALLAS_SCAN = _env_flag("MSM_PALLAS_SCAN", True)
 # Force the scan kernel off-TPU (interpret mode) — for bit-exactness tests.
 MSM_PALLAS_SCAN_FORCE = _env_flag("MSM_PALLAS_SCAN_FORCE", False)
+# Feed the scan kernel the gather-natural [depth, lanes, 80] layout and
+# transpose to compute layout IN VMEM inside the kernel (saves the XLA
+# relayouts around the scan; measured ~free on v5e — the gather itself, not
+# the transpose, is the cost — so default off until it proves out).
+MSM_SCAN_RAW_LAYOUT = _env_flag("MSM_SCAN_RAW_LAYOUT", False)
+# Zero-shuffle bucket MSM: all windows in ONE Mosaic program with
+# VMEM-resident bucket accumulators (pallas_curve.msm_bucket_accum) — no
+# sort / row-gather / scatter (the round-3 profile showed those, not math,
+# were ~75% of window time; the row gather is per-index bound at ~47ns/row).
+MSM_ACCUM_KERNEL = _env_flag("MSM_ACCUM_KERNEL", False)
+# Window bits for the accumulator MSM.  Cost ~ ceil(253/w) * (n + 2^(w+1) *
+# lanes) adds: SMALL windows win because the fold/reduction work scales with
+# 2^w * lanes (w=4 optimal at lanes=1024 under the measured 5.2 us/step +
+# 6.1 ns/lane Mosaic cost model — benchmarks/bench_addrate.py).
+MSM_ACCUM_WINDOW = _env_int("MSM_ACCUM_WINDOW", 4)
+# Lane width (points per step) for the accumulator MSM.
+MSM_ACCUM_LANES = _env_int("MSM_ACCUM_LANES", 1024)
+# Run the bucket-weighted suffix fold as ONE Pallas kernel
+# (pallas_curve.bucket_fold: per-lane prefix+weight accumulators, in-VMEM
+# cross-lane carry scan via pltpu.roll, in-VMEM lane reduction) instead of
+# the XLA suffix-scan + tree-reduce stages. Same TPU/interpet gating as
+# MSM_PALLAS_SCAN.
+MSM_FOLD_KERNEL = _env_flag("MSM_FOLD_KERNEL", True)
 # Chunk count for the chunked scan = batch width per sequential step
 # (sweep on v5e at 2^16: 128->350K, 256->367K, 512->373K, 1024->384K pts/s).
 MSM_SCAN_LANES = _env_int("MSM_SCAN_LANES", 1024)

@@ -144,10 +144,25 @@ def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
     return C.to_bytes_batch(C.GE(*(c[:, 0] for c in acc)))
 
 
-def _msm_point(points: C.GE, sc: jax.Array) -> C.GE:
-    """One MSM returning the raw point: points GE [m], sc [m, SL] limbs."""
+def _msm_point(points: C.GE, sc: jax.Array, mesh=None,
+               axis: str = "dp") -> C.GE:
+    """One MSM returning the raw point: points GE [m], sc [m, SL] limbs.
+
+    With `mesh`, the multiexp is sharded over the mesh axis inside the fused
+    program (shard_map over the bases, per-device partial points, ONE gather
+    for the outer fold — same decomposition as parallel/sharded_msm.py), so
+    the zero-sync verifier's single hot op scales across chips while the
+    transcript/scalar algebra stays replicated (it is O(N) scalar work vs the
+    MSM's O(N) curve work — the latter is ~1000x heavier per element)."""
     from .. import config
     fl = SC.to_field_limbs(sc)
+    if mesh is not None:
+        from ..parallel.sharded_msm import msm_sharded
+        ndev = mesh.shape[axis]
+        local_n = -(-fl.shape[0] // ndev)
+        w = (config.msm_window_for(local_n)
+             if local_n >= config.MSM_PIPPENGER_MIN else 0)
+        return msm_sharded(points, fl, mesh=mesh, axis=axis, w=w)
     if fl.shape[0] >= config.FUSED_PIPPENGER_MIN:
         out = _pippenger_rows(points, fl[None])
         return C.GE(*(c[0] for c in out))
@@ -679,10 +694,11 @@ def prove_agg(values, blindings, n: int, gens=None):
 
 # --- zero-sync AGGREGATED verifier --------------------------------------------
 @functools.lru_cache(maxsize=None)
-def _verify_fn_agg(n: int, m: int):
+def _verify_fn_agg(n: int, m: int, mesh=None):
     """On-device aggregated verification: same merged random-linear-
     combination multiexp as aggregate.verify (bases [G H g h V T1 T2 A S
-    L R]), challenges re-derived in-program."""
+    L R]), challenges re-derived in-program.  With `mesh`, the multiexp
+    runs sharded over the mesh's 'dp' axis (see _msm_point)."""
     N = n * m
     k = N.bit_length() - 1
     npts = m + 4 + 2 * k
@@ -775,7 +791,7 @@ def _verify_fn_agg(n: int, m: int):
             [g_sc, h_sc, jnp.stack([sc_g, sc_h]), sc_v,
              jnp.stack([sc_t1, sc_t2, sc_a, sc_s]),
              jnp.stack(lr_sc)], axis=0)
-        res = C.mul8(_msm_point(bases, scalars))
+        res = C.mul8(_msm_point(bases, scalars, mesh=mesh))
         return jnp.logical_and(jnp.all(valid), C.is_identity(res))
 
     return jax.jit(fn), fn
@@ -805,8 +821,13 @@ def _agg_structure_ok(proof, gens) -> bool:
     return gens.n >= N
 
 
-def verify_agg(proof, gens=None) -> bool:
-    """Fully-on-device aggregated verification: ONE dispatch."""
+def verify_agg(proof, gens=None, mesh=None) -> bool:
+    """Fully-on-device aggregated verification: ONE dispatch.
+
+    mesh: optional jax.sharding.Mesh with a 'dp' axis — shards the merged
+    multiexp across devices inside the single dispatch (the rest of the
+    program is replicated; communication is one gather of per-device
+    partial points)."""
     import secrets
     from .. import config
     config.require_exact()
@@ -815,6 +836,6 @@ def verify_agg(proof, gens=None) -> bool:
     if not _agg_structure_ok(proof, gens):
         return False
     rnd = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1 for _ in range(2)])
-    jfn, _ = _verify_fn_agg(proof.n, proof.m)
+    jfn, _ = _verify_fn_agg(proof.n, proof.m, mesh)
     return bool(jfn(jnp.asarray(_agg_proof_blob(proof)), rnd,
                     _gens_pack(gens, N)))

@@ -229,7 +229,8 @@ def _ladder_win_kernel(p_ref, s_ref, o_ref):
     o_ref[:, :] = acc
 
 
-def _seg_scan_kernel(p_ref, h_ref, o_ref, acc_ref):
+def _seg_scan_kernel(p_ref, h_ref, o_ref, c_ref, acc_ref, hh_ref, *,
+                     depth: int, lanes: int):
     """ONE-kernel chunked segmented scan step (grid = depth, sequential on
     TPU): acc lives in VMEM scratch across grid steps, so the whole
     n-point bucket scan runs as a single Mosaic program — no per-step XLA
@@ -239,35 +240,59 @@ def _seg_scan_kernel(p_ref, h_ref, o_ref, acc_ref):
     p: [1, 80, T] block of points (step-major flat-T layout), h: [1, 1, T]
     head flags (1 = this element starts a new segment).  Every element with
     h=0 must follow its predecessor IN THE SAME LANE (chunk layout: lane l
-    owns sorted elements [l*depth, (l+1)*depth))."""
+    owns sorted elements [l*depth, (l+1)*depth)).
+
+    Second output c: [80, lanes] per-lane cross-chunk CARRY — the exclusive
+    segmented combine of the per-lane trailing values across lanes (what the
+    caller previously computed with a 10-stage XLA associative_scan; the
+    round-3 stage profile showed those glue stages dominating window time).
+    """
     d = pl.program_id(0)
-    t = p_ref.shape[2]
+    raw = p_ref.shape[1] != 4 * L                 # [1, lanes, 80] blocks
+    t = p_ref.shape[1] if raw else p_ref.shape[2]
 
     @pl.when(d == 0)
     def _():
         acc_ref[:, :] = _identity_block(t)
+        hh_ref[:, :] = jnp.zeros_like(hh_ref)
 
     d2 = _const_fe(_D2_LIMBS, t)
-    row = p_ref[0]
+    # raw layout: the gather's natural [lanes, 80] block is transposed to
+    # compute layout IN VMEM (overlapped with the sequential scan), so the
+    # caller never pays the 21 MB XLA relayouts on either side (round-3
+    # stage profile: those were ~40% of window time)
+    row = jnp.transpose(p_ref[0]) if raw else p_ref[0]
     h = h_ref[0]                                  # [1, T] int32
     nxt = jnp.where(h > 0, row, _padd(acc_ref[:, :], row, d2))
-    o_ref[0] = nxt
+    o_ref[0] = jnp.transpose(nxt) if raw else nxt
     acc_ref[:, :] = nxt
+    hh_ref[:, :] = jnp.maximum(hh_ref[:, :], h)
+
+    @pl.when(d == depth - 1)
+    def _():
+        S, _ = _lane_scan_incl(acc_ref[:, :], lanes,
+                               seg_flags=hh_ref[:, :])
+        lane = _lane_iota(S.shape)
+        carry = pltpu.roll(S, shift=1, axis=1)
+        carry = jnp.where(lane == 0, _identity_block(t), carry)
+        c_ref[:, :] = jnp.transpose(carry) if raw else carry
 
 
-def seg_scan(pt: jax.Array, ht: jax.Array) -> jax.Array:
+def seg_scan(pt: jax.Array, ht: jax.Array):
     """Segmented inclusive scan over the curve monoid, one Pallas kernel.
 
     pt: [depth, 80, lanes] points (lane l, step j = sorted element
     l*depth + j); ht: [depth, 1, lanes] int32 head flags.  A lane whose
     first element does not start a segment produces chunk-LOCAL partials
-    for its leading run — cross-chunk carries are the caller's fixup,
-    exactly as in pippenger's chunked scans.  Returns [depth, 80, lanes].
-    """
+    for its leading run.  Returns ([depth, 80, lanes] scan values,
+    [80, lanes] per-lane cross-chunk carries) — the carry for lane l is the
+    segmented combine of trailing values of lanes < l, computed in-VMEM
+    (see _seg_scan_kernel)."""
     depth, _, lanes = pt.shape
     return pl.pallas_call(
-        _seg_scan_kernel,
-        out_shape=jax.ShapeDtypeStruct((depth, 4 * L, lanes), jnp.int32),
+        functools.partial(_seg_scan_kernel, depth=depth, lanes=lanes),
+        out_shape=[jax.ShapeDtypeStruct((depth, 4 * L, lanes), jnp.int32),
+                   jax.ShapeDtypeStruct((4 * L, lanes), jnp.int32)],
         grid=(depth,),
         in_specs=[
             pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
@@ -275,11 +300,240 @@ def seg_scan(pt: jax.Array, ht: jax.Array) -> jax.Array:
             pl.BlockSpec((1, 1, lanes), lambda d: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((4 * L, lanes), jnp.int32)],
+        out_specs=[pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((4 * L, lanes), lambda d: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((4 * L, lanes), jnp.int32),
+                        pltpu.VMEM((1, lanes), jnp.int32)],
         interpret=PF._interpret(),
     )(pt, ht)
+
+
+def seg_scan_raw(pt_raw: jax.Array, ht: jax.Array):
+    """seg_scan consuming/producing the gather-natural layout: pt_raw
+    [depth, lanes, 80] (points on sublanes, flattened coordinates minor) —
+    the in-VMEM transpose to compute layout happens inside the kernel.
+    Returns ([depth, lanes, 80] scan values, [lanes, 80] carries)."""
+    depth, lanes, _ = pt_raw.shape
+    return pl.pallas_call(
+        functools.partial(_seg_scan_kernel, depth=depth, lanes=lanes),
+        out_shape=[jax.ShapeDtypeStruct((depth, lanes, 4 * L), jnp.int32),
+                   jax.ShapeDtypeStruct((lanes, 4 * L), jnp.int32)],
+        grid=(depth,),
+        in_specs=[
+            pl.BlockSpec((1, lanes, 4 * L), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lanes), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, lanes, 4 * L), lambda d: (d, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((lanes, 4 * L), lambda d: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((4 * L, lanes), jnp.int32),
+                        pltpu.VMEM((1, lanes), jnp.int32)],
+        interpret=PF._interpret(),
+    )(pt_raw, ht)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _lane_scan_incl(v, lanes: int, seg_flags=None):
+    """In-VMEM Hillis-Steele inclusive scan ACROSS LANES of a [80, lanes]
+    point block (optionally segmented by seg_flags [1, lanes]): log2(lanes)
+    stages of roll+masked-add, zero XLA stages.  Replaces the XLA
+    associative_scan carry fixups whose per-stage relayouts dominated the
+    bucket pipeline (round-3 stage profile: ~3.9 ms/window of glue vs
+    1.1 ms of scan math)."""
+    t = v.shape[1]
+    d2 = _const_fe(_D2_LIMBS, t)
+    lane = _lane_iota(v.shape)
+    f = seg_flags                         # [1, lanes] int32 or None
+    s = 1
+    while s < lanes:
+        lv = pltpu.roll(v, shift=s, axis=1)
+        merged = _padd(lv, v, d2)
+        if f is not None:
+            # left operand exists only for lane >= s; segmented: keep v
+            # where this position's run already starts a segment (f == 1)
+            lf = pltpu.roll(f, shift=s, axis=1)
+            v = jnp.where(jnp.logical_and(lane >= s, f == 0), merged, v)
+            f = jnp.where(_lane_iota(f.shape) >= s, jnp.maximum(f, lf), f)
+        else:
+            v = jnp.where(lane >= s, merged, v)
+        s *= 2
+    return v, f
+
+
+def _bucket_fold_kernel(p_ref, o_ref, sacc_ref, wacc_ref, *, depth: int,
+                        lanes: int):
+    """ONE-kernel bucket-weighted suffix fold: sum_b b*S_b over a bucket
+    table fed in DESCENDING bucket order, identity-padded at the front.
+
+    Layout: element (step j, lane l) = padded_body[l*depth + j]; per step
+    the kernel advances each lane's local prefix (sacc) and accumulates the
+    prefix into wacc (so wacc_l = sum over the chunk of its local prefixes).
+    At the last step: chunk carries via an in-VMEM cross-lane scan, scaled
+    by `depth` with log2(depth) dedicated doublings, added to wacc, and the
+    lane dimension reduced in-VMEM — the whole suffix fold is one Mosaic
+    program with NO XLA point-op stages (the previous pipeline spent
+    ~10 associative_scan stages + ~13 tree-reduce stages here)."""
+    d = pl.program_id(0)
+    t = p_ref.shape[2]
+
+    @pl.when(d == 0)
+    def _():
+        sacc_ref[:, :] = _identity_block(t)
+        wacc_ref[:, :] = _identity_block(t)
+
+    d2 = _const_fe(_D2_LIMBS, t)
+    s = _padd(sacc_ref[:, :], p_ref[0], d2)
+    sacc_ref[:, :] = s
+    wacc_ref[:, :] = _padd(wacc_ref[:, :], s, d2)
+
+    @pl.when(d == depth - 1)
+    def _():
+        incl, _ = _lane_scan_incl(sacc_ref[:, :], lanes)
+        lane = _lane_iota(incl.shape)
+        excl = pltpu.roll(incl, shift=1, axis=1)
+        excl = jnp.where(lane == 0, _identity_block(t), excl)
+        k = depth
+        while k > 1:                      # carry * depth (depth = 2^j)
+            excl = _pdbl(excl)
+            k //= 2
+        r = _padd(wacc_ref[:, :], excl, d2)
+        m = lanes
+        while m > 1:                      # in-VMEM lane reduction
+            half = m // 2
+            dh = _const_fe(_D2_LIMBS, half)
+            r = _padd(r[:, :half], r[:, half:m], dh)
+            m = half
+        o_ref[:, :] = jnp.pad(r, ((0, 0), (0, o_ref.shape[1] - 1)))
+
+
+def bucket_fold(body_flat: jax.Array, lanes: int = 128) -> jax.Array:
+    """sum_p prefix(p) over a [m, 80] flat point array (descending bucket
+    order), i.e. sum_b b*S_b when body = buckets[1:nb] reversed.  m is
+    identity-padded AT THE FRONT to a multiple of `lanes` (front padding
+    contributes identity to every prefix).  Returns [80] (one point)."""
+    m = body_flat.shape[0]
+    depth = -(-m // lanes)
+    while depth & (depth - 1):            # carry scaling needs depth = 2^k
+        depth += 1
+    pad = depth * lanes - m
+    if pad:
+        idrow = jnp.asarray(_identity_row())
+        body_flat = jnp.concatenate(
+            [jnp.broadcast_to(idrow, (pad, 4 * L)), body_flat], axis=0)
+    # (j, l) = body[l*depth + j]
+    pt = body_flat.reshape(lanes, depth, 4 * L).transpose(1, 2, 0)
+    out = pl.pallas_call(
+        functools.partial(_bucket_fold_kernel, depth=depth, lanes=lanes),
+        out_shape=jax.ShapeDtypeStruct((4 * L, lanes), jnp.int32),
+        grid=(depth,),
+        in_specs=[pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((4 * L, lanes), lambda d: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((4 * L, lanes), jnp.int32),
+                        pltpu.VMEM((4 * L, lanes), jnp.int32)],
+        interpret=PF._interpret(),
+    )(pt)
+    return out[:, 0]
+
+
+def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
+                         steps: int, lanes: int):
+    """Zero-shuffle bucket MSM window: points stream in NATURAL order; all
+    nb bucket accumulators live in VMEM scratch; each step select-adds every
+    lane's point into its digit's bucket (one unified add + 2*nb one-op
+    lane-masked selects).  No sort, no [n]-row gather, no bucket scatter, no
+    carry fixup — the round-3 stage profile showed those (not math) were
+    ~75% of window time, and the gather is per-index bound (~47 ns/row
+    regardless of row bytes; benchmarks/bench_gather.py + 'gathers' stages).
+
+    Grid (windows, steps), steps innermost.  Per step:
+      acc_sel[l] = sacc[d[l]]          (fori select chain over buckets)
+      added     = acc_sel + p          (ONE [80,lanes]-wide unified add)
+      sacc[b]   = where(d==b, added)   (write-back select chain)
+    Digit 0 lanes land in the unused slot 0 (sum skips bucket 0).  At the
+    last step the weighted fold sum_b b*S_b runs in-kernel: a sequential
+    suffix+total loop over buckets (2*(nb-1) adds, lane-parallel) then an
+    in-VMEM lane-halving reduction; result in lane 0 of this window's out
+    row."""
+    j = pl.program_id(1)
+    t = lanes
+    d2 = _const_fe(_D2_LIMBS, t)
+
+    @pl.when(j == 0)
+    def _():
+        sacc_ref[:, :, :] = jnp.broadcast_to(
+            _identity_block(t)[None], (nb, 4 * L, t))
+
+    d = d_ref[0, 0]                               # [1, lanes] int32
+    p = p_ref[0]                                  # [80, lanes]
+
+    def sel_body(b, acc):
+        return jnp.where(d == b, sacc_ref[b], acc)
+
+    acc_sel = jax.lax.fori_loop(1, nb, sel_body, sacc_ref[0])
+    added = _padd(acc_sel, p, d2)
+
+    def wb_body(b, carry):
+        sacc_ref[b] = jnp.where(d == b, added, sacc_ref[b])
+        return carry
+
+    jax.lax.fori_loop(0, nb, wb_body, 0)
+
+    @pl.when(j == steps - 1)
+    def _():
+        idb = _identity_block(t)
+
+        def fold_body(k, carry):
+            suf, tot = carry
+            b = nb - 1 - k                        # nb-1 down to 1
+            suf = _padd(suf, sacc_ref[b], d2)
+            tot = _padd(tot, suf, d2)
+            return suf, tot
+
+        _, total = jax.lax.fori_loop(0, nb - 1, fold_body, (idb, idb))
+        m = lanes
+        while m > 1:
+            half = m // 2
+            dh = _const_fe(_D2_LIMBS, half)
+            total = _padd(total[:, :half], total[:, half:m], dh)
+            m = half
+        o_ref[0] = jnp.pad(total, ((0, 0), (0, lanes - 1)))
+
+
+def msm_bucket_accum(pt: jax.Array, dg: jax.Array, nb: int) -> jax.Array:
+    """All Pippenger windows of one MSM as ONE Mosaic program.
+
+    pt: [steps, 80, lanes] points in natural order (point j*lanes + l at
+    (j, :, l)); dg: [nw, steps, 1, lanes] w-bit digits (0 = skip).
+    Returns [nw, 80, lanes] with each window's weighted bucket sum
+    sum_b b*S_b in lane 0."""
+    steps, _, lanes = pt.shape
+    nw = dg.shape[0]
+    return pl.pallas_call(
+        functools.partial(_bucket_accum_kernel, nb=nb, steps=steps,
+                          lanes=lanes),
+        out_shape=jax.ShapeDtypeStruct((nw, 4 * L, lanes), jnp.int32),
+        grid=(nw, steps),
+        in_specs=[
+            pl.BlockSpec((1, 4 * L, lanes), lambda w, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, lanes), lambda w, j: (w, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * L, lanes), lambda w, j: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nb, 4 * L, lanes), jnp.int32)],
+        interpret=PF._interpret(),
+    )(pt, dg)
 
 
 def _reduce_kernel(p_ref, o_ref):

@@ -163,16 +163,17 @@ def _use_scan_kernel() -> bool:
                                        or config.MSM_PALLAS_SCAN_FORCE)
 
 
-def _kernel_scan(pc: C.GE, hc: jax.Array | None) -> C.GE:
+def _kernel_scan(pc: C.GE, hc: jax.Array | None):
     """pc: GE [depth, lanes]; hc: [depth, lanes] head flags or None
-    (unsegmented) -> GE [depth, lanes] chunk-local scan values."""
+    (unsegmented) -> (GE [depth, lanes] chunk-local scan values,
+    GE [lanes] cross-chunk carries)."""
     from . import pallas_curve as PC
     depth, lanes = pc.x.shape[0], pc.x.shape[1]
     pt = jnp.concatenate(list(pc), axis=-1).transpose(0, 2, 1)
     ht = (jnp.zeros((depth, 1, lanes), jnp.int32) if hc is None
           else hc[:, None, :].astype(jnp.int32))
-    outs_t = PC.seg_scan(pt, ht)                  # [depth, 80, lanes]
-    return _unflat(outs_t.transpose(0, 2, 1))
+    outs_t, carry_t = PC.seg_scan(pt, ht)         # [d, 80, lanes], [80, lanes]
+    return _unflat(outs_t.transpose(0, 2, 1)), _unflat(carry_t.T)
 
 
 def _chunked_scan_full(p: C.GE) -> C.GE:
@@ -193,14 +194,14 @@ def _chunked_scan_full(p: C.GE) -> C.GE:
         return nxt, nxt
 
     if _use_scan_kernel():
-        outs = _kernel_scan(pc, None)
+        outs, carry = _kernel_scan(pc, None)     # carry computed in-kernel
     else:
         _, outs = jax.lax.scan(step, C.identity((lanes,)), pc)  # [d, lanes]
-    trail = C.GE(*(c[-1] for c in outs))                     # GE [lanes]
-    S = jax.lax.associative_scan(C.add, trail, axis=0)
-    idp = C.identity((1,))
-    carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
-                   for ic, sc in zip(idp, S)))               # [lanes]
+        trail = C.GE(*(c[-1] for c in outs))                 # GE [lanes]
+        S = jax.lax.associative_scan(C.add, trail, axis=0)
+        idp = C.identity((1,))
+        carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
+                       for ic, sc in zip(idp, S)))           # [lanes]
     cb = C.GE(*(jnp.broadcast_to(c[None], (depth,) + c.shape)
                 for c in carry))                             # [depth, lanes]
     fixed = C.add(outs, cb)
@@ -217,6 +218,13 @@ def _bucket_suffix_fold(buckets: C.GE, nb: int) -> C.GE:
     """sum_b b*S_b over buckets 1..nb-1 via a suffix scan + fold."""
     from .. import config
     body = C.GE(*(bc[1:nb][::-1] for bc in buckets))
+    if _use_scan_kernel() and config.MSM_FOLD_KERNEL:
+        # ONE Mosaic program for the whole weighted fold (round-3 stage
+        # profile: the XLA carry-fixup/tree-reduce stages here were ~60% of
+        # window time at w=13)
+        from . import pallas_curve as PC
+        flat = jnp.concatenate(list(body), axis=-1)          # [nb-1, 80]
+        return _unflat(PC.bucket_fold(flat))
     m = nb - 1
     lanes = min(config.MSM_SCAN_LANES, m)
     if config.MSM_CHUNKED_SCAN and m >= 2 * lanes:
@@ -230,6 +238,18 @@ def _bucket_suffix_fold(buckets: C.GE, nb: int) -> C.GE:
     else:
         suffix = jax.lax.associative_scan(C.add, body, axis=0)
     return C.tree_reduce(suffix)
+
+
+def _fake_ge(consumed: jax.Array) -> C.GE:
+    """Timing-only: a GE carrying a data dependence on `consumed` (an int32
+    scalar, e.g. a sum of a stage's output) so XLA cannot DCE the stage,
+    while everything downstream stays trivially cheap.  WRONG results."""
+    one = C.identity(())
+    return C.GE(one.x + consumed, one.y, one.z, one.t)
+
+
+_CHUNKED_STAGES = ("", "gather0", "gather", "scan", "fixup", "scatter",
+                   "gatherh", "gatherq", "gatherw")
 
 
 def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
@@ -251,11 +271,37 @@ def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
 
     if _use_scan_kernel():
         # one gather straight into the kernel's step-major [depth, 80,
-        # lanes] layout, then the whole scan as ONE Mosaic program
-        pt = flat[order_c].transpose(0, 2, 1)
+        # lanes] layout, then the whole scan (INCLUDING the cross-chunk
+        # carry combine across lanes) as ONE Mosaic program
+        if config.MSM_TIMING_STAGE == "gatherh":    # WRONG results
+            return _fake_ge(jnp.sum(flat[:, :40][order_c]))   # 160 B rows
+        if config.MSM_TIMING_STAGE == "gatherq":    # WRONG results
+            return _fake_ge(jnp.sum(flat[:, :20][order_c]))   # 80 B rows
+        if config.MSM_TIMING_STAGE == "gatherw":    # WRONG results
+            fpad = jnp.pad(flat, ((0, 0), (0, 48)))           # 512 B aligned
+            return _fake_ge(jnp.sum(fpad[order_c]))
+        raw = flat[order_c]                          # [depth, lanes, 80]
+        if config.MSM_TIMING_STAGE == "gather0":    # WRONG results
+            return _fake_ge(jnp.sum(raw))
         ht = hc[:, None, :].astype(jnp.int32)
         from . import pallas_curve as PC
-        outs = _unflat(PC.seg_scan(pt, ht).transpose(0, 2, 1))
+        if config.MSM_SCAN_RAW_LAYOUT:
+            # kernel consumes/produces the gather-natural layout; the
+            # compute-layout transposes happen in VMEM inside the kernel
+            outs_r, carry_r = PC.seg_scan_raw(raw, ht)
+            if config.MSM_TIMING_STAGE == "scan":   # WRONG results
+                return _fake_ge(jnp.sum(outs_r) + jnp.sum(carry_r))
+            outs = _unflat(outs_r)
+            carry = _unflat(carry_r)
+        else:
+            pt = raw.transpose(0, 2, 1)
+            if config.MSM_TIMING_STAGE == "gather":  # WRONG results
+                return _fake_ge(jnp.sum(pt))
+            outs_t, carry_t = PC.seg_scan(pt, ht)
+            if config.MSM_TIMING_STAGE == "scan":   # WRONG results
+                return _fake_ge(jnp.sum(outs_t) + jnp.sum(carry_t))
+            outs = _unflat(outs_t.transpose(0, 2, 1))
+            carry = _unflat(carry_t.T)
     else:
         pc = _unflat(flat[order_c])                  # one gather, GE [d, l]
 
@@ -265,16 +311,17 @@ def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
             return nxt, nxt
 
         _, outs = jax.lax.scan(step, C.identity((lanes,)), (pc, hc))
+        trail = C.GE(*(c[-1] for c in outs))         # GE [lanes]
+        hashead_b = head.reshape(lanes, depth).any(axis=1)
+        S, _ = jax.lax.associative_scan(
+            _seg_combine, (trail, hashead_b), axis=0)
+        idp = C.identity((1,))
+        carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
+                       for ic, sc in zip(idp, S)))
 
-    # cross-chunk carry fixup, addressed in chunk coordinates
-    trail = C.GE(*(c[-1] for c in outs))             # GE [lanes]
+    # carry application, addressed in chunk coordinates
     hmat = head.reshape(lanes, depth)
-    hashead = hmat.any(axis=1)
     headfirst = hmat[:, 0]
-    S, _ = jax.lax.associative_scan(_seg_combine, (trail, hashead), axis=0)
-    idp = C.identity((1,))
-    carry = C.GE(*(jnp.concatenate([ic, sc[:-1]], axis=0)
-                   for ic, sc in zip(idp, S)))
     tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
     tmat = tail.reshape(lanes, depth)
     has_tail = tmat.any(axis=1)
@@ -285,11 +332,15 @@ def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
     fixed = C.select(apply, C.add(tgt, carry), tgt)
     outs = C.GE(*(c.at[first_tail, lane_ids].set(fc)
                   for c, fc in zip(outs, fixed)))
+    if config.MSM_TIMING_STAGE == "fixup":           # WRONG results
+        return _fake_ge(sum(jnp.sum(c) for c in outs))
 
     # bucket scatter straight from chunk layout (tail positions only)
     idx_c = jnp.where(tmat, d_sorted.reshape(lanes, depth), nb).T  # [d, l]
     buckets = C.identity((nb + 1,))
     buckets = C.GE(*(bc.at[idx_c].set(vc) for bc, vc in zip(buckets, outs)))
+    if config.MSM_TIMING_STAGE == "scatter":         # WRONG results
+        return _fake_ge(sum(jnp.sum(c) for c in buckets))
     return _bucket_suffix_fold(buckets, nb)
 
 
@@ -309,7 +360,8 @@ def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
             digits, w, config.MSM_PALLAS_SORT_BITS)
     else:
         order = jnp.argsort(digits)
-    if (config.MSM_CHUNKED_SCAN and not config.MSM_TIMING_STAGE
+    if (config.MSM_CHUNKED_SCAN
+            and config.MSM_TIMING_STAGE in _CHUNKED_STAGES
             and n % min(config.MSM_SCAN_LANES, n) == 0
             and n >= 2 * min(config.MSM_SCAN_LANES, n)):
         return _bucket_window_chunked(flat, digits, order, w)
@@ -337,6 +389,45 @@ def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
     return _bucket_suffix_fold(buckets, nb)
 
 
+def _horner_windows(window_sums: C.GE, nw: int, w: int) -> C.GE:
+    """Combine per-window weighted sums: acc = 2^w * acc + W_j."""
+    def horner(j, acc):
+        idx = nw - 1 - j
+        acc = jax.lax.fori_loop(0, w, lambda _, a: C.double(a), acc)
+        return C.add(acc, C.GE(*(c[idx] for c in window_sums)))
+
+    # identity derived from varying data: required under shard_map
+    init = C.identity_like(C.GE(*(c[0] for c in window_sums)))
+    return jax.lax.fori_loop(0, nw, horner, init)
+
+
+def _msm_accum(points: C.GE, scalars: jax.Array, w: int) -> C.GE:
+    """Zero-shuffle bucket MSM: every window runs in ONE Mosaic program with
+    VMEM-resident bucket accumulators (pallas_curve.msm_bucket_accum) —
+    no sort / row-gather / scatter / carry fixup (those were ~75% of window
+    time in the round-3 stage profile, and the row gather is per-index
+    bound).  Cost ~ nw * (n adds + 2^w*lanes fold adds)."""
+    from .. import config
+    from . import pallas_curve as PC
+    n = scalars.shape[0]
+    lanes = config.MSM_ACCUM_LANES
+    pad = (-n) % lanes
+    digits = extract_digits(scalars, w)              # [nw, n]
+    flat = jnp.concatenate(list(points), axis=-1)    # [n, 80]
+    if pad:
+        # zero-pad: digit 0 lanes never touch a live bucket
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, 4 * F.L), flat.dtype)], axis=0)
+        digits = jnp.pad(digits, ((0, 0), (0, pad)))
+    nw = num_windows(w)
+    steps = (n + pad) // lanes
+    pt = flat.reshape(steps, lanes, 4 * F.L).transpose(0, 2, 1)
+    dg = digits.reshape(nw, steps, 1, lanes)
+    out = PC.msm_bucket_accum(pt, dg, 1 << w)        # [nw, 80, lanes]
+    window_sums = _unflat(out[:, :, 0])              # GE [nw]
+    return _horner_windows(window_sums, nw, w)
+
+
 @functools.partial(jax.jit, static_argnames=("w",))
 def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
     """sum_i scalars[i] * points[i] via bucket method.
@@ -346,9 +437,12 @@ def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
     cuda_point_vector_multi_scalar_mul (cuda_bulletproof_kernels.cu:62-116),
     rebuilt as a scaling bucket kernel instead of per-point ladders.
     """
+    from .. import config
+    if (config.MSM_ACCUM_KERNEL and _use_scan_kernel()
+            and not config.MSM_TIMING_STAGE and not config.MSM_SKIP_SORT):
+        return _msm_accum(points, scalars, config.MSM_ACCUM_WINDOW)
     digits = extract_digits(scalars, w)          # [nw, n]
     flat = jnp.concatenate(list(points), axis=-1)   # [n, 80], window-invariant
-    from .. import config
     if config.MSM_VMAP_WINDOWS:
         # all windows in one batched program — measured SLOWER (materializes
         # every window's gather at once); kept for A/B
@@ -358,13 +452,4 @@ def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
         window_sums = jax.lax.map(
             lambda d: _bucket_window(flat, d, w), digits)   # GE [nw]
 
-    nw = num_windows(w)
-
-    def horner(j, acc):
-        idx = nw - 1 - j
-        acc = jax.lax.fori_loop(0, w, lambda _, a: C.double(a), acc)
-        return C.add(acc, C.GE(*(c[idx] for c in window_sums)))
-
-    # identity derived from varying data: required under shard_map
-    init = C.identity_like(C.GE(*(c[0] for c in window_sums)))
-    return jax.lax.fori_loop(0, nw, horner, init)
+    return _horner_windows(window_sums, num_windows(w), w)

@@ -61,6 +61,18 @@ def test_fused_agg_verify_structure_guards(gens, hproof):
     assert not fused.verify_agg(bad, gens)
 
 
+def test_fused_agg_verify_sharded_mesh(gens, hproof):
+    """Round-2 verdict item 7: the zero-sync aggregated verifier with its
+    merged random-linear-combination multiexp sharded over an
+    8-virtual-device mesh (shard_map inside the single fused dispatch; the
+    transcript/scalar algebra stays replicated)."""
+    from cudabulletproof_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh(8)
+    assert fused.verify_agg(hproof, gens, mesh=mesh)
+    bad = dataclasses.replace(hproof, taux=(hproof.taux + 1) % S.ELL)
+    assert not fused.verify_agg(bad, gens, mesh=mesh)
+
+
 @needs_prove
 def test_fused_agg_prove_roundtrip(gens):
     proof = fused.prove_agg([1, 3], [S.sc_random() for _ in range(M_VALS)],

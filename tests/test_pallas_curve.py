@@ -105,7 +105,27 @@ def test_pallas_seg_scan_segments(rng, monkeypatch):
     flat = jnp2.concatenate(list(p), axis=-1)
     pt = flat.reshape(lanes, depth, 80).transpose(1, 2, 0)
     hmat = jnp2.asarray(heads, jnp2.int32).reshape(lanes, depth).T
-    got = PC2.seg_scan(pt, hmat[:, None, :])
+    got, carry_t = PC2.seg_scan(pt, hmat[:, None, :])
+    # carry correctness: lane l's carry = segmented combine of trailing
+    # values across lanes < l (exclusive), flags = lane-has-head
+    trails, flags = [], []
+    acc = None
+    for l in range(lanes):
+        for j in range(depth):
+            i = l * depth + j
+            row = C.GE(*(c[i] for c in p))
+            acc = row if (j == 0 or heads[i]) else C.add(acc, row)
+        trails.append(acc)
+        flags.append(any(heads[l * depth:(l + 1) * depth]))
+    want_carry = C.identity(())
+    carry_ge = C.GE(carry_t.T[:, 0:20], carry_t.T[:, 20:40],
+                    carry_t.T[:, 40:60], carry_t.T[:, 60:80])
+    for l in range(lanes):
+        assert bool(C.eq(C.GE(*(c[l] for c in carry_ge)), want_carry)), l
+        if flags[l]:
+            want_carry = trails[l]
+        else:
+            want_carry = C.add(want_carry, trails[l])
     got_flat = got.transpose(0, 2, 1).transpose(1, 0, 2).reshape(n, 80)
     got_ge = C.GE(got_flat[:, 0:20], got_flat[:, 20:40],
                   got_flat[:, 40:60], got_flat[:, 60:80])
@@ -144,3 +164,60 @@ def test_pallas_scan_kernel_msm(rng, monkeypatch):
     for pt, s in zip(pts, sc):
         want = want + s * pt
     assert got == want
+
+
+def test_pallas_bucket_fold_matches_direct(rng):
+    """bucket_fold (one-kernel weighted suffix fold) vs direct oracle
+    computation of sum_p prefix(p), at depth>1 and with front padding."""
+    for m, lanes in ((15, 4), (9, 4), (4, 4), (23, 8)):
+        pts = [oracle.hash_to_point(b"pbf%d" % lanes, i) for i in range(m)]
+        flat = jnp.concatenate(list(C.from_oracle(pts)), axis=-1)
+        got_flat = PC.bucket_fold(flat, lanes=lanes)
+        got = C.to_oracle(C.GE(got_flat[None, 0:20], got_flat[None, 20:40],
+                               got_flat[None, 40:60], got_flat[None, 60:80]))[0]
+        want = oracle.IDENTITY
+        pre = oracle.IDENTITY
+        for p in pts:
+            pre = pre + p
+            want = want + pre
+        assert got == want, (m, lanes)
+
+
+def test_pallas_bucket_fold_in_msm(rng, monkeypatch):
+    """Full bucket MSM with BOTH one-kernel paths (scan + fold) forced on,
+    vs the oracle (covers the _bucket_suffix_fold kernel routing)."""
+    from cudabulletproof_tpu import config
+    from cudabulletproof_tpu.ops import pippenger as PP
+    monkeypatch.setattr(config, "MSM_PALLAS_SCAN_FORCE", True)
+    monkeypatch.setattr(config, "MSM_PALLAS_SCAN", True)
+    monkeypatch.setattr(config, "MSM_FOLD_KERNEL", True)
+    monkeypatch.setattr(config, "MSM_SCAN_LANES", 8)
+    n = 16
+    pts = [oracle.hash_to_point(b"pbm", i) for i in range(n)]
+    sc = [rng.randrange(S.ELL) for _ in range(n)]
+    got = C.to_oracle(PP.msm_pippenger(
+        C.from_oracle(pts), F.from_ints(sc), w=4))[0]
+    want = oracle.IDENTITY
+    for pt, s in zip(pts, sc):
+        want = want + s * pt
+    assert got == want
+
+
+def test_pallas_bucket_accum_msm(rng, monkeypatch):
+    """Zero-shuffle accumulator MSM (one-kernel windows, VMEM bucket
+    accumulators) vs the oracle, with padding (n not a lane multiple)."""
+    from cudabulletproof_tpu import config
+    from cudabulletproof_tpu.ops import pippenger as PP
+    monkeypatch.setattr(config, "MSM_PALLAS_SCAN_FORCE", True)
+    monkeypatch.setattr(config, "MSM_ACCUM_KERNEL", True)
+    monkeypatch.setattr(config, "MSM_ACCUM_WINDOW", 4)
+    monkeypatch.setattr(config, "MSM_ACCUM_LANES", 8)
+    for n in (16, 13):                      # multiple + non-multiple of lanes
+        pts = [oracle.hash_to_point(b"pba%d" % n, i) for i in range(n)]
+        sc = [rng.randrange(S.ELL) for _ in range(n)]
+        got = C.to_oracle(PP.msm_pippenger(
+            C.from_oracle(pts), F.from_ints(sc), w=13))[0]
+        want = oracle.IDENTITY
+        for pt, s in zip(pts, sc):
+            want = want + s * pt
+        assert got == want, n
