@@ -1,0 +1,99 @@
+"""Hardware sweep of the zero-shuffle signed-bucket accumulator MSM.
+
+Sweeps (window bits, lanes, unroll) of pippenger._msm_accum on the default
+device and prints points/s per config, plus a correctness cross-check of
+every swept config against the sort+scan Pippenger path (computed once).
+
+Run: python benchmarks/bench_msm_accum.py [n] [w,lanes,unroll ...]
+  e.g. python benchmarks/bench_msm_accum.py 65536 4,1024,4 5,1024,4 4,1024,1
+  with no configs: a default sweep grid.
+"""
+import functools
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from cudabulletproof_tpu import config
+from cudabulletproof_tpu.ops import curve as C, field as F, pippenger as PP
+from cudabulletproof_tpu.utils import oracle
+
+
+def make_points(n, seed=1):
+    base = C.from_oracle([oracle.BASE])
+    base_b = C.GE(*(jnp.broadcast_to(c, (n,) + c.shape) for c in base))
+    ks = [(seed + i * 0x9E3779B97F4A7C15) % oracle.ELL for i in range(n)]
+    chunks = []
+    step = min(n, 1 << 16)
+    for off in range(0, n, step):
+        sub = C.GE(*(c[off:off + step] for c in base_b))
+        chunks.append(C.scalarmult(sub, F.from_ints(ks[off:off + step])))
+    pts = C.GE(*(jnp.concatenate([ch[i] for ch in chunks]) for i in range(4)))
+    # hash-derived scalars (uniform digits; structured scalars would flatter
+    # the select chains — round-3 verdict weak item 8)
+    import hashlib
+    sc = [int.from_bytes(hashlib.sha256(b"msmsweep%d" % i).digest(), "little")
+          % oracle.ELL for i in range(n)]
+    return pts, F.from_ints(sc)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
+    cfgs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[2:]]
+    if not cfgs:
+        cfgs = [(3, 1024, 4), (4, 1024, 4), (5, 1024, 4), (6, 1024, 4),
+                (4, 1024, 1), (4, 1024, 2), (4, 1024, 8),
+                (4, 512, 4), (4, 2048, 4), (5, 2048, 4)]
+    pts, sc = make_points(n)
+    jax.block_until_ready(pts.x)
+    print(f"n={n} backend={jax.default_backend()}", flush=True)
+
+    # reference result via the sort+scan path (oracle-validated elsewhere)
+    ref_w = config.msm_window_for(min(n, config.MSM_CHUNK))
+    ref = None
+    if os.environ.get("BP_SWEEP_CHECK", "1") != "0":
+        t0 = time.perf_counter()
+        ref = jax.block_until_ready(PP.msm_pippenger(pts, sc, w=ref_w))
+        t0 = time.perf_counter() - t0
+        print(f"scan-path reference (w={ref_w}): {t0*1e3:.0f} ms cold",
+              flush=True)
+
+    best = None
+    for (w, lanes, unroll) in cfgs:
+        fn = jax.jit(functools.partial(
+            PP._msm_accum, w=w, lanes=lanes, unroll=unroll))
+        try:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(pts, sc))
+            cold = time.perf_counter() - t0
+        except Exception as e:
+            print(f"w={w} lanes={lanes} u={unroll}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        ok = bool(C.eq(out, ref)) if ref is not None else None
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            jax.block_until_ready(fn(pts, sc))
+            ts.append(time.perf_counter() - t1)
+        t = statistics.median(ts)
+        nw = -(-254 // w) if (1 << (w - 1)) else 0
+        print(f"w={w} lanes={lanes} u={unroll}: {t*1e3:8.1f} ms  "
+              f"{n/t/1e3:8.1f} K pts/s  (cold {cold:.1f}s, eq={ok})",
+              flush=True)
+        assert ok is not False, (w, lanes, unroll)
+        if best is None or t < best[0]:
+            best = (t, w, lanes, unroll)
+    if best:
+        t, w, lanes, unroll = best
+        print(f"BEST n={n}: w={w} lanes={lanes} unroll={unroll} "
+              f"{n/t/1e3:.1f} K pts/s ({t*1e3:.1f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,38 +53,29 @@ def main():
               flush=True)
         return t
 
+    import _stages
+    # the taps target the sort+scan window body, not the accumulator kernel
+    config.MSM_ACCUM_KERNEL = False
+
     which = sys.argv[2] if len(sys.argv) > 2 else "fallback"
     if which == "gathers":
-        cfgs = [("gatherq", {"MSM_TIMING_STAGE": "gatherq"}),
-                ("gatherh", {"MSM_TIMING_STAGE": "gatherh"}),
-                ("gather0", {"MSM_TIMING_STAGE": "gather0"}),
-                ("gatherw", {"MSM_TIMING_STAGE": "gatherw"})]
+        cfgs = [("gatherq", "gatherq", False), ("gatherh", "gatherh", False),
+                ("gather0", "gather0", False), ("gatherw", "gatherw", False)]
     elif which == "chunked":
         # cumulative stages of the chunked-kernel path (round-3): each stops
         # the window body after the named stage and consumes its output
-        cfgs = [("gather", {"MSM_TIMING_STAGE": "gather"}),
-                ("scan", {"MSM_TIMING_STAGE": "scan"}),
-                ("fixup", {"MSM_TIMING_STAGE": "fixup"}),
-                ("scatter", {"MSM_TIMING_STAGE": "scatter"}),
-                ("full", {})]
+        cfgs = [("gather", "gather", False), ("scan", "scan", False),
+                ("fixup", "fixup", False), ("scatter", "scatter", False),
+                ("full", "", False)]
     else:
-        cfgs = [
-            ("full", {}),
-            ("skipsort", {"MSM_SKIP_SORT": True}),
-            ("noscan", {"MSM_SKIP_SORT": True, "MSM_TIMING_STAGE": "noscan"}),
-            ("sortonly", {"MSM_TIMING_STAGE": "noscan"}),
-        ]
-    base_vals = {k: getattr(config, k)
-                 for k in ("MSM_SKIP_SORT", "MSM_TIMING_STAGE")}
-    for tag, over in cfgs:
-        for k, v in base_vals.items():
-            setattr(config, k, v)
-        for k, v in over.items():
-            setattr(config, k, v)
-        jax.clear_caches()
-        run(tag)
-    for k, v in base_vals.items():
-        setattr(config, k, v)
+        cfgs = [("full", "", False), ("skipsort", "", True),
+                ("noscan", "noscan", True), ("sortonly", "noscan", False)]
+    try:
+        for tag, stage, skip in cfgs:
+            _stages.install(stage=stage, skip_sort=skip)
+            run(tag)
+    finally:
+        _stages.uninstall()
 
 
 if __name__ == "__main__":

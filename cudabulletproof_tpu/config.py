@@ -75,24 +75,22 @@ MSM_RADIX_BITS = _env_int("MSM_RADIX_BITS", 5)
 MSM_PALLAS_SORT = _env_flag("MSM_PALLAS_SORT", False)
 # Sub-key width per Pallas counting pass (radix = 2^bits counters in VMEM).
 MSM_PALLAS_SORT_BITS = _env_int("MSM_PALLAS_SORT_BITS", 7)
-# Timing-only: skip the digit sort (produces WRONG results) to isolate the
-# sort stage's cost in whole-MSM measurements.  Guarded: the protocol entry
-# points (models/*) call require_exact() and refuse to run with these set.
-MSM_SKIP_SORT = _env_flag("MSM_SKIP_SORT", False)
-# Timing-only stage skipper ('' | 'noscan' | 'nosuffix'); WRONG results.
-MSM_TIMING_STAGE = os.environ.get("BP_MSM_TIMING_STAGE", "")
-
-
 def require_exact() -> None:
-    """Refuse to run protocol-level code with timing-only (result-corrupting)
-    flags set: they exist solely for stage isolation in benchmarks/, and a
-    stray BP_MSM_SKIP_SORT in a real process would make verification silently
-    unsound (round-1 advisor finding)."""
-    if MSM_SKIP_SORT or MSM_TIMING_STAGE:
+    """Refuse to run protocol-level code while benchmarks/_stages.py has its
+    stage-isolation instrumentation installed (it monkeypatches the MSM
+    window body with deliberately WRONG-result short-circuits for timing).
+    The production ops modules themselves contain no wrong-result branches
+    (round-3 verdict item 7); this guard only protects a process that
+    explicitly called benchmarks._stages.install() and then ran protocol
+    code without uninstalling."""
+    from .ops import pippenger
+    tap = getattr(pippenger, "_INSTRUMENTED_STAGE", None)
+    if tap:
         raise RuntimeError(
-            "BP_MSM_SKIP_SORT / BP_MSM_TIMING_STAGE are timing-only flags "
-            "that corrupt MSM results; refusing to run protocol code. "
-            "Unset them (they are valid only for benchmarks/ stage timing).")
+            f"benchmarks/_stages.py instrumentation ({tap!r}) is installed; "
+            "it corrupts MSM results and is valid only for stage timing. "
+            "Call benchmarks._stages.uninstall() before running protocol "
+            "code.")
 # Segmented bucket scan: chunked-sequential (lax.scan of [lanes]-batched
 # fused adds + carry fixup; ~n adds total) vs XLA associative_scan (~2n adds
 # with per-stage relayout overhead). Measured +85% MSM throughput at 2^16
@@ -110,18 +108,25 @@ MSM_PALLAS_SCAN_FORCE = _env_flag("MSM_PALLAS_SCAN_FORCE", False)
 # relayouts around the scan; measured ~free on v5e — the gather itself, not
 # the transpose, is the cost — so default off until it proves out).
 MSM_SCAN_RAW_LAYOUT = _env_flag("MSM_SCAN_RAW_LAYOUT", False)
-# Zero-shuffle bucket MSM: all windows in ONE Mosaic program with
+# Zero-shuffle signed-bucket MSM: all windows in ONE Mosaic program with
 # VMEM-resident bucket accumulators (pallas_curve.msm_bucket_accum) — no
 # sort / row-gather / scatter (the round-3 profile showed those, not math,
 # were ~75% of window time; the row gather is per-index bound at ~47ns/row).
+# Round 4: signed digits (half the buckets/selects), precomputed mixed-add
+# operands (7M adds), per-step unroll.
 MSM_ACCUM_KERNEL = _env_flag("MSM_ACCUM_KERNEL", False)
-# Window bits for the accumulator MSM.  Cost ~ ceil(253/w) * (n + 2^(w+1) *
-# lanes) adds: SMALL windows win because the fold/reduction work scales with
-# 2^w * lanes (w=4 optimal at lanes=1024 under the measured 5.2 us/step +
-# 6.1 ns/lane Mosaic cost model — benchmarks/bench_addrate.py).
+# Window bits for the accumulator MSM (signed digits -> 2^(w-1) buckets).
+# See msm_window_for(n, path="accum") for the cost model; the default is the
+# hardware-swept optimum at 2^16-2^20 (benchmarks/bench_msm_accum.py).
 MSM_ACCUM_WINDOW = _env_int("MSM_ACCUM_WINDOW", 4)
-# Lane width (points per step) for the accumulator MSM.
+# Lane width (points per unroll slot per step) for the accumulator MSM.
 MSM_ACCUM_LANES = _env_int("MSM_ACCUM_LANES", 1024)
+# Points per lane per grid step (amortizes the fixed Mosaic per-step cost).
+MSM_ACCUM_UNROLL = _env_int("MSM_ACCUM_UNROLL", 4)
+# Largest MSM the accumulator kernel takes as ONE Mosaic program (it has no
+# XLA gathers, so big programs are compiler-safe; chunking would re-pay the
+# per-window bucket fold once per chunk).  Above this, msm_auto chunks.
+MSM_ACCUM_CHUNK = _env_int("MSM_ACCUM_CHUNK", 1 << 20)
 # Run the bucket-weighted suffix fold as ONE Pallas kernel
 # (pallas_curve.bucket_fold: per-lane prefix+weight accumulators, in-VMEM
 # cross-lane carry scan via pltpu.roll, in-VMEM lane reduction) instead of
@@ -148,14 +153,33 @@ DEFAULT_RANGE_BITS = _env_int("DEFAULT_RANGE_BITS", 16)
 TRACE = _env_flag("TRACE", False)
 
 
-def msm_window_for(n: int) -> int:
-    """Pick the Pippenger window width for an n-point MSM.
+def msm_window_for(n: int, path: str = "scan") -> int:
+    """Pick the Pippenger window width for an n-point MSM — ONE cost model
+    covering both kernel paths (round-3 verdict item 6).
 
-    Cost model (per window: ~2n segmented-scan adds + 3*2^w bucket adds;
-    ceil(253/w) windows): minimize (253/w) * (2n + 3*2^w)."""
+    path="scan" (sort + segmented-scan windows): per window ~2n scan adds +
+    3*2^w bucket-fold adds; minimize ceil(253/w) * (2n + 3*2^w).
+
+    path="accum" (zero-shuffle signed-bucket kernel): per window n mixed
+    adds, ~1.4n lane-select overhead (select chains scale with the 2^(w-1)
+    bucket count; calibrated on v5e: ~0.35n * 2^(w-1)/8 add-equivalents at
+    w=4), plus ~2*2^(w-1)*lanes full adds for the in-kernel weighted fold;
+    minimize ceil(253/w)+1 windows * that sum.  Validated by the round-4
+    hardware sweep (benchmarks/bench_msm_accum.py)."""
     if os.environ.get("BP_MSM_WINDOW"):
         return MSM_WINDOW
     best_w, best_c = 4, float("inf")
+    if path == "accum":
+        lanes = MSM_ACCUM_LANES
+        for w in range(3, 9):
+            nwin = -(-254 // w)
+            nb = 1 << (w - 1)
+            # madd ~ 7/9 of a unified add; selects ~ 0.35/8 add-equiv/bucket
+            per_win = n * (7 / 9) + n * 0.35 * (nb / 8) + 2 * nb * lanes
+            c = nwin * per_win
+            if c < best_c:
+                best_w, best_c = w, c
+        return best_w
     for w in range(4, 14):
         c = -(-253 // w) * (2 * n + 3 * (1 << w))
         if c < best_c:

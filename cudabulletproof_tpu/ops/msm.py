@@ -90,11 +90,20 @@ def msm_auto(points: C.GE, scalars: jax.Array) -> C.GE:
       else               -> bucket-method Pippenger, cost-model window
     """
     from .. import config
+    from .pippenger import _use_scan_kernel
     n = scalars.shape[0]
     if (n <= 1024 and config.PALLAS_CURVE
             and jax.default_backend() == "tpu"):
         from . import pallas_curve as PC
         return PC.msm(points, scalars)
+    if (config.MSM_ACCUM_KERNEL and _use_scan_kernel()
+            and n >= config.MSM_PIPPENGER_MIN
+            and n <= config.MSM_ACCUM_CHUNK):
+        # the zero-shuffle accumulator kernel has no XLA gathers, so a
+        # 2^20-point program neither wedges the compiler nor gains from
+        # chunking — and chunking would re-pay the per-window bucket fold
+        # once per chunk (~40 lane-wide adds x nw x n/chunk)
+        return pippenger.msm_pippenger(points, scalars)
     if n > config.MSM_CHUNK:
         # chunked: reuse ONE compiled bucket-MSM program per chunk and fold
         # the partial points (compute-bound, so chunking costs nothing; a

@@ -445,49 +445,86 @@ def bucket_fold(body_flat: jax.Array, lanes: int = 128) -> jax.Array:
     return out[:, 0]
 
 
-def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
-                         steps: int, lanes: int):
-    """Zero-shuffle bucket MSM window: points stream in NATURAL order; all
-    nb bucket accumulators live in VMEM scratch; each step select-adds every
-    lane's point into its digit's bucket (one unified add + 2*nb one-op
-    lane-masked selects).  No sort, no [n]-row gather, no bucket scatter, no
-    carry fixup — the round-3 stage profile showed those (not math) were
-    ~75% of window time, and the gather is per-index bound (~47 ns/row
-    regardless of row bytes; benchmarks/bench_gather.py + 'gathers' stages).
+def _madd(p, ypx2, ymx2, td2):
+    """Mixed add: extended accumulator + precomputed Z2=1 point given as
+    (y2+x2, y2-x2, 2d*t2).  Same add-2008-hwcd-3 formula as _padd with
+    zz = z1*z2 collapsed to z1 and d2*t2 folded into the precomputation:
+    7 field muls vs the unified add's 9 (ref10 ge_madd shape).  Complete on
+    the prime-order subgroup, so acc == Q and acc == identity need no
+    branches."""
+    x1, y1, z1, t1 = p[0:L], p[L:2 * L], p[2 * L:3 * L], p[3 * L:4 * L]
+    a = _fmul(_fsub(y1, x1), ymx2)
+    b = _fmul(_fadd(y1, x1), ypx2)
+    c = _fmul(t1, td2)
+    d = _fadd(z1, z1)
+    e = _fsub(b, a)
+    f = _fsub(d, c)
+    g = _fadd(d, c)
+    h = _fadd(b, a)
+    return jnp.concatenate(
+        [_fmul(e, f), _fmul(g, h), _fmul(f, g), _fmul(e, h)], axis=0)
 
-    Grid (windows, steps), steps innermost.  Per step:
-      acc_sel[l] = sacc[d[l]]          (fori select chain over buckets)
-      added     = acc_sel + p          (ONE [80,lanes]-wide unified add)
-      sacc[b]   = where(d==b, added)   (write-back select chain)
-    Digit 0 lanes land in the unused slot 0 (sum skips bucket 0).  At the
-    last step the weighted fold sum_b b*S_b runs in-kernel: a sequential
-    suffix+total loop over buckets (2*(nb-1) adds, lane-parallel) then an
-    in-VMEM lane-halving reduction; result in lane 0 of this window's out
-    row."""
+
+def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
+                         steps: int, lanes: int, unroll: int):
+    """Zero-shuffle SIGNED-bucket MSM window: points stream in NATURAL order;
+    all nb bucket accumulators live in VMEM scratch; each step select-adds
+    every lane's point into its |digit|'s bucket (one mixed 7M add + ~2*nb
+    one-op lane-masked selects).  No sort, no [n]-row gather, no bucket
+    scatter, no carry fixup — the round-3 stage profile showed those (not
+    math) were ~75% of window time, and the gather is per-index bound
+    (~47 ns/row regardless of row bytes; benchmarks/bench_gather.py).
+
+    Round-4 structure (vs the round-3 first cut):
+      * SIGNED digits in [-2^(w-1), 2^(w-1)] halve the bucket count (and so
+        the select/write-back chains) for the same window width; negation of
+        a precomputed point is a 3-select swap (ypx<->ymx, td2 -> -td2,
+        streamed as a 4th row group so no in-kernel field negate).
+      * The streamed points are PRECOMPUTED mixed-add operands
+        (y+x | y-x | 2d*t | -2d*t, Z=1), cutting the hot add 9M -> 7M.
+      * `unroll` points per lane per grid step amortize the fixed Mosaic
+        per-step overhead (measured ~5.2 us/step, bench_addrate.py).
+
+    Grid (windows, steps), steps innermost.  Per step, per unroll slot:
+      m         = |d|;  q_signed = sign-select of the precomp rows
+      acc_sel[l] = sacc[m[l]]          (static-index select chain)
+      added      = madd(acc_sel, q)    (ONE [*,lanes]-wide mixed add)
+      sacc[b]    = where(m==b, added)  (write-back select chain)
+    Digit 0 lanes select bucket slot 0's accumulator but the write-back
+    skips slot 0, so they add nothing.  At the last step the weighted fold
+    sum_b b*S_b runs in-kernel: a sequential suffix+total loop over buckets
+    (2*(nb-1) unified adds, lane-parallel) then an in-VMEM lane-halving
+    reduction; result in lane 0 of this window's out row."""
     j = pl.program_id(1)
     t = lanes
-    d2 = _const_fe(_D2_LIMBS, t)
 
     @pl.when(j == 0)
     def _():
         sacc_ref[:, :, :] = jnp.broadcast_to(
             _identity_block(t)[None], (nb, 4 * L, t))
 
-    d = d_ref[0, 0]                               # [1, lanes] int32
-    p = p_ref[0]                                  # [80, lanes]
-
-    # unrolled static-index select/write-back chains: dynamic-index
-    # fori_loops forced per-iteration dynamic VMEM addressing (measured
-    # ~45% over the cost model); static slots compile to plain vselects
-    acc_sel = sacc_ref[1]
-    for b in range(2, nb):
-        acc_sel = jnp.where(d == b, sacc_ref[b], acc_sel)
-    added = _padd(acc_sel, p, d2)
-    for b in range(1, nb):                        # digit 0 writes nothing
-        sacc_ref[b] = jnp.where(d == b, added, sacc_ref[b])
+    dall = d_ref[0, 0]                            # [unroll, lanes] int32
+    for u in range(unroll):
+        d = dall[u:u + 1, :]                      # [1, lanes], signed
+        q = p_ref[0, u]                           # [80, lanes] precomp
+        neg = d < 0
+        m = jnp.where(neg, -d, d)
+        ypx = jnp.where(neg, q[L:2 * L], q[0:L])
+        ymx = jnp.where(neg, q[0:L], q[L:2 * L])
+        td2 = jnp.where(neg, q[3 * L:4 * L], q[2 * L:3 * L])
+        # unrolled static-index select/write-back chains: dynamic-index
+        # fori_loops forced per-iteration dynamic VMEM addressing (measured
+        # ~45% over the cost model); static slots compile to plain vselects
+        acc_sel = sacc_ref[1] if nb > 1 else sacc_ref[0]
+        for b in range(2, nb):
+            acc_sel = jnp.where(m == b, sacc_ref[b], acc_sel)
+        added = _madd(acc_sel, ypx, ymx, td2)
+        for b in range(1, nb):                    # digit 0 writes nothing
+            sacc_ref[b] = jnp.where(m == b, added, sacc_ref[b])
 
     @pl.when(j == steps - 1)
     def _():
+        d2 = _const_fe(_D2_LIMBS, t)
         idb = _identity_block(t)
         suf = tot = idb
         for b in range(nb - 1, 0, -1):
@@ -506,21 +543,22 @@ def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
 def msm_bucket_accum(pt: jax.Array, dg: jax.Array, nb: int) -> jax.Array:
     """All Pippenger windows of one MSM as ONE Mosaic program.
 
-    pt: [steps, 80, lanes] points in natural order (point j*lanes + l at
-    (j, :, l)); dg: [nw, steps, 1, lanes] w-bit digits (0 = skip).
-    Returns [nw, 80, lanes] with each window's weighted bucket sum
-    sum_b b*S_b in lane 0."""
-    steps, _, lanes = pt.shape
+    pt: [steps, unroll, 80, lanes] PRECOMPUTED points in natural order
+    (point (j*unroll + u)*lanes + l at (j, u, :, l); rows y+x | y-x | 2d*t |
+    -2d*t, Z=1 — see pippenger.madd_precomp); dg: [nw, steps, unroll, lanes]
+    SIGNED digits in [-(nb-1), nb-1] (0 = skip).  Returns [nw, 80, lanes]
+    with each window's weighted bucket sum sum_b b*S_b in lane 0."""
+    steps, unroll, _, lanes = pt.shape
     nw = dg.shape[0]
     return pl.pallas_call(
         functools.partial(_bucket_accum_kernel, nb=nb, steps=steps,
-                          lanes=lanes),
+                          lanes=lanes, unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((nw, 4 * L, lanes), jnp.int32),
         grid=(nw, steps),
         in_specs=[
-            pl.BlockSpec((1, 4 * L, lanes), lambda w, j: (j, 0, 0),
+            pl.BlockSpec((1, unroll, 4 * L, lanes), lambda w, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, lanes), lambda w, j: (w, j, 0, 0),
+            pl.BlockSpec((1, 1, unroll, lanes), lambda w, j: (w, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 4 * L, lanes), lambda w, j: (w, 0, 0),

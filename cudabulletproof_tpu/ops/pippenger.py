@@ -53,6 +53,45 @@ def extract_digits(scalars: jax.Array, w: int) -> jax.Array:
     return jnp.stack(outs, axis=0)
 
 
+def extract_digits_signed(scalars: jax.Array, w: int) -> jax.Array:
+    """[n, 20] limbs -> [nw', n] SIGNED digits in [-2^(w-1), 2^(w-1)].
+
+    sum_j d_j * 2^(w*j) == scalar exactly; digit magnitudes <= 2^(w-1), so
+    the bucket count halves vs unsigned digits (negating a twisted-Edwards
+    point is a coordinate swap).  Recoding is the standard carry pass: a
+    digit > 2^(w-1) borrows 2^w from the next window.  When w*nw < 254 the
+    final carry can be nonzero for scalars near 2^253 — it is appended as
+    one extra (0/1-valued) window row."""
+    raw = extract_digits(scalars, w)
+    half = 1 << (w - 1)
+    full = 1 << w
+
+    def step(carry, d):
+        d = d + carry
+        over = (d > half).astype(d.dtype)
+        return over, d - over * full
+
+    carry, out = jax.lax.scan(step, jnp.zeros_like(raw[0]), raw)
+    if w * num_windows(w) < 254:
+        out = jnp.concatenate([out, carry[None]], axis=0)
+    return out
+
+
+def madd_precomp(points: C.GE) -> jax.Array:
+    """GE [n] -> [n, 80] mixed-add streaming form for the accumulator MSM:
+    rows (y+x | y-x | 2d*t | -2d*t) with Z normalized to 1 (one Montgomery
+    batch inversion).  Feeding the kernel Z2=1 operands with d2*t2 folded in
+    cuts the hot add from 9 to 7 field muls, and streaming the negated t-row
+    makes the signed-digit point negation a pure row swap in-kernel."""
+    from ..utils import oracle
+    aff = C.normalize_batch(points)
+    n = aff.x.shape[0]
+    d2 = jnp.broadcast_to(F.from_ints([oracle.D2]), (n, F.L))
+    td2 = F.mul(aff.t, d2)
+    return jnp.concatenate(
+        [F.add(aff.y, aff.x), F.sub(aff.y, aff.x), td2, F.neg(td2)], axis=-1)
+
+
 def _radix_argsort(digits: jax.Array, w: int) -> jax.Array:
     """Stable argsort of w-bit keys via LSD counting-sort passes.
 
@@ -240,24 +279,17 @@ def _bucket_suffix_fold(buckets: C.GE, nb: int) -> C.GE:
     return C.tree_reduce(suffix)
 
 
-def _fake_ge(consumed: jax.Array) -> C.GE:
-    """Timing-only: a GE carrying a data dependence on `consumed` (an int32
-    scalar, e.g. a sum of a stage's output) so XLA cannot DCE the stage,
-    while everything downstream stays trivially cheap.  WRONG results."""
-    one = C.identity(())
-    return C.GE(one.x + consumed, one.y, one.z, one.t)
-
-
-_CHUNKED_STAGES = ("", "gather0", "gather", "scan", "fixup", "scatter",
-                   "gatherh", "gatherq", "gatherw")
-
-
 def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
                            w: int) -> C.GE:
     """Chunk-layout bucket accumulation: ONE [n, 80] gather lands directly in
     [depth, lanes, 80] scan layout (no per-coordinate gathers, no
     transposes), the carry fixup and the bucket scatter address chunk
-    coordinates directly."""
+    coordinates directly.
+
+    (The stage-isolation timing taps that used to live inline here return
+    deliberately WRONG results; they are quarantined in
+    benchmarks/_stages.py, which monkeypatches this module.  The production
+    body below has no wrong-result branches.)"""
     from .. import config
     n = digits.shape[0]
     nb = 1 << w
@@ -273,33 +305,18 @@ def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
         # one gather straight into the kernel's step-major [depth, 80,
         # lanes] layout, then the whole scan (INCLUDING the cross-chunk
         # carry combine across lanes) as ONE Mosaic program
-        if config.MSM_TIMING_STAGE == "gatherh":    # WRONG results
-            return _fake_ge(jnp.sum(flat[:, :40][order_c]))   # 160 B rows
-        if config.MSM_TIMING_STAGE == "gatherq":    # WRONG results
-            return _fake_ge(jnp.sum(flat[:, :20][order_c]))   # 80 B rows
-        if config.MSM_TIMING_STAGE == "gatherw":    # WRONG results
-            fpad = jnp.pad(flat, ((0, 0), (0, 48)))           # 512 B aligned
-            return _fake_ge(jnp.sum(fpad[order_c]))
         raw = flat[order_c]                          # [depth, lanes, 80]
-        if config.MSM_TIMING_STAGE == "gather0":    # WRONG results
-            return _fake_ge(jnp.sum(raw))
         ht = hc[:, None, :].astype(jnp.int32)
         from . import pallas_curve as PC
         if config.MSM_SCAN_RAW_LAYOUT:
             # kernel consumes/produces the gather-natural layout; the
             # compute-layout transposes happen in VMEM inside the kernel
             outs_r, carry_r = PC.seg_scan_raw(raw, ht)
-            if config.MSM_TIMING_STAGE == "scan":   # WRONG results
-                return _fake_ge(jnp.sum(outs_r) + jnp.sum(carry_r))
             outs = _unflat(outs_r)
             carry = _unflat(carry_r)
         else:
             pt = raw.transpose(0, 2, 1)
-            if config.MSM_TIMING_STAGE == "gather":  # WRONG results
-                return _fake_ge(jnp.sum(pt))
             outs_t, carry_t = PC.seg_scan(pt, ht)
-            if config.MSM_TIMING_STAGE == "scan":   # WRONG results
-                return _fake_ge(jnp.sum(outs_t) + jnp.sum(carry_t))
             outs = _unflat(outs_t.transpose(0, 2, 1))
             carry = _unflat(carry_t.T)
     else:
@@ -332,16 +349,25 @@ def _bucket_window_chunked(flat: jax.Array, digits: jax.Array, order,
     fixed = C.select(apply, C.add(tgt, carry), tgt)
     outs = C.GE(*(c.at[first_tail, lane_ids].set(fc)
                   for c, fc in zip(outs, fixed)))
-    if config.MSM_TIMING_STAGE == "fixup":           # WRONG results
-        return _fake_ge(sum(jnp.sum(c) for c in outs))
 
     # bucket scatter straight from chunk layout (tail positions only)
     idx_c = jnp.where(tmat, d_sorted.reshape(lanes, depth), nb).T  # [d, l]
     buckets = C.identity((nb + 1,))
     buckets = C.GE(*(bc.at[idx_c].set(vc) for bc, vc in zip(buckets, outs)))
-    if config.MSM_TIMING_STAGE == "scatter":         # WRONG results
-        return _fake_ge(sum(jnp.sum(c) for c in buckets))
     return _bucket_suffix_fold(buckets, nb)
+
+
+def _digit_order(digits: jax.Array, w: int) -> jax.Array:
+    """Partition permutation grouping points by digit (config-routed sort)."""
+    from .. import config
+    n = digits.shape[0]
+    if config.MSM_RADIX_SORT:
+        return _radix_argsort(digits, w)
+    if config.MSM_PALLAS_SORT and n % 1024 == 0:
+        from . import pallas_sort
+        return pallas_sort.grouping_order(
+            digits, w, config.MSM_PALLAS_SORT_BITS)
+    return jnp.argsort(digits)
 
 
 def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
@@ -350,18 +376,8 @@ def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
     from .. import config
     n = digits.shape[0]
     nb = 1 << w
-    if config.MSM_SKIP_SORT:
-        order = jnp.arange(n, dtype=jnp.int32)   # timing-only: wrong results
-    elif config.MSM_RADIX_SORT:
-        order = _radix_argsort(digits, w)
-    elif config.MSM_PALLAS_SORT and n % 1024 == 0:
-        from . import pallas_sort
-        order = pallas_sort.grouping_order(
-            digits, w, config.MSM_PALLAS_SORT_BITS)
-    else:
-        order = jnp.argsort(digits)
+    order = _digit_order(digits, w)
     if (config.MSM_CHUNKED_SCAN
-            and config.MSM_TIMING_STAGE in _CHUNKED_STAGES
             and n % min(config.MSM_SCAN_LANES, n) == 0
             and n >= 2 * min(config.MSM_SCAN_LANES, n)):
         return _bucket_window_chunked(flat, digits, order, w)
@@ -370,16 +386,8 @@ def _bucket_window(flat: jax.Array, digits: jax.Array, w: int) -> C.GE:
     p_sorted = _unflat(flat[order])
     head = jnp.concatenate([jnp.ones((1,), bool),
                             d_sorted[1:] != d_sorted[:-1]])
-    if config.MSM_TIMING_STAGE == "noscan":      # timing-only: wrong results
-        vals = p_sorted
-    elif (config.MSM_CHUNKED_SCAN and n % min(config.MSM_SCAN_LANES, n) == 0
-            and n >= 2 * min(config.MSM_SCAN_LANES, n)):
-        vals = _chunked_seg_scan(p_sorted, head)
-    else:
-        vals, _ = jax.lax.associative_scan(
-            _seg_combine, (p_sorted, head), axis=0)
-    if config.MSM_TIMING_STAGE == "nosuffix":    # timing-only: wrong results
-        return C.GE(*(c[0] for c in vals))
+    vals, _ = jax.lax.associative_scan(
+        _seg_combine, (p_sorted, head), axis=0)
     tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
     # scatter segment tails: each present digit has exactly one tail index;
     # everything else lands in the discard slot nb.
@@ -401,30 +409,42 @@ def _horner_windows(window_sums: C.GE, nw: int, w: int) -> C.GE:
     return jax.lax.fori_loop(0, nw, horner, init)
 
 
-def _msm_accum(points: C.GE, scalars: jax.Array, w: int) -> C.GE:
-    """Zero-shuffle bucket MSM: every window runs in ONE Mosaic program with
-    VMEM-resident bucket accumulators (pallas_curve.msm_bucket_accum) —
-    no sort / row-gather / scatter / carry fixup (those were ~75% of window
-    time in the round-3 stage profile, and the row gather is per-index
-    bound).  Cost ~ nw * (n adds + 2^w*lanes fold adds)."""
+def _msm_accum(points: C.GE, scalars: jax.Array, w: int,
+               lanes: int | None = None, unroll: int | None = None) -> C.GE:
+    """Zero-shuffle signed-bucket MSM: every window runs in ONE Mosaic
+    program with VMEM-resident bucket accumulators
+    (pallas_curve.msm_bucket_accum) — no sort / row-gather / scatter / carry
+    fixup (those were ~75% of window time in the round-3 stage profile, and
+    the row gather is per-index bound at ~47 ns/row).
+
+    Round-4 shape: SIGNED digits (2^(w-1) buckets), points streamed as
+    precomputed mixed-add operands (7M adds), `unroll` points per lane per
+    grid step.  Cost ~ nw * (n madds + ~2*2^(w-1)*lanes fold adds)."""
     from .. import config
     from . import pallas_curve as PC
+    lanes = lanes or config.MSM_ACCUM_LANES
+    unroll = unroll or config.MSM_ACCUM_UNROLL
     n = scalars.shape[0]
-    lanes = config.MSM_ACCUM_LANES
-    pad = (-n) % lanes
-    digits = extract_digits(scalars, w)              # [nw, n]
-    flat = jnp.concatenate(list(points), axis=-1)    # [n, 80]
+    blk = lanes * unroll
+    pad = (-n) % blk
     if pad:
-        # zero-pad: digit 0 lanes never touch a live bucket
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((pad, 4 * F.L), flat.dtype)], axis=0)
-        digits = jnp.pad(digits, ((0, 0), (0, pad)))
-    nw = num_windows(w)
-    steps = (n + pad) // lanes
-    pt = flat.reshape(steps, lanes, 4 * F.L).transpose(0, 2, 1)
-    dg = digits.reshape(nw, steps, 1, lanes)
-    out = PC.msm_bucket_accum(pt, dg, 1 << w)        # [nw, 80, lanes]
-    window_sums = _unflat(out[:, :, 0])              # GE [nw]
+        # zero scalars -> all-zero digits: padded lanes never touch a bucket
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad, F.L), scalars.dtype)], axis=0)
+    digits = extract_digits_signed(scalars, w)       # [nw', n+pad]
+    pre = madd_precomp(points)                       # [n, 80]
+    if pad:
+        # digit-0 lanes are never stored, so the pad rows' values are unread
+        # (zeros are in-bounds field elements for the dead madd they feed)
+        pre = jnp.concatenate(
+            [pre, jnp.zeros((pad, 4 * F.L), pre.dtype)], axis=0)
+    nw = digits.shape[0]
+    steps = (n + pad) // blk
+    pt = pre.reshape(steps, unroll, lanes, 4 * F.L).transpose(0, 1, 3, 2)
+    dg = digits.reshape(nw, steps, unroll, lanes)
+    nb = (1 << (w - 1)) + 1                          # |digit| in [0, 2^(w-1)]
+    out = PC.msm_bucket_accum(pt, dg, nb)            # [nw', 80, lanes]
+    window_sums = _unflat(out[:, :, 0])              # GE [nw']
     return _horner_windows(window_sums, nw, w)
 
 
@@ -438,8 +458,7 @@ def msm_pippenger(points: C.GE, scalars: jax.Array, w: int = 8) -> C.GE:
     rebuilt as a scaling bucket kernel instead of per-point ladders.
     """
     from .. import config
-    if (config.MSM_ACCUM_KERNEL and _use_scan_kernel()
-            and not config.MSM_TIMING_STAGE and not config.MSM_SKIP_SORT):
+    if config.MSM_ACCUM_KERNEL and _use_scan_kernel():
         return _msm_accum(points, scalars, config.MSM_ACCUM_WINDOW)
     digits = extract_digits(scalars, w)          # [nw, n]
     flat = jnp.concatenate(list(points), axis=-1)   # [n, 80], window-invariant

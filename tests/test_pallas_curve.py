@@ -212,7 +212,8 @@ def test_pallas_bucket_accum_msm(rng, monkeypatch):
     monkeypatch.setattr(config, "MSM_ACCUM_KERNEL", True)
     monkeypatch.setattr(config, "MSM_ACCUM_WINDOW", 4)
     monkeypatch.setattr(config, "MSM_ACCUM_LANES", 8)
-    for n in (16, 13):                      # multiple + non-multiple of lanes
+    monkeypatch.setattr(config, "MSM_ACCUM_UNROLL", 2)
+    for n in (32, 13):        # multiple + non-multiple of lanes*unroll
         pts = [oracle.hash_to_point(b"pba%d" % n, i) for i in range(n)]
         sc = [rng.randrange(S.ELL) for _ in range(n)]
         got = C.to_oracle(PP.msm_pippenger(
@@ -221,3 +222,36 @@ def test_pallas_bucket_accum_msm(rng, monkeypatch):
         for pt, s in zip(pts, sc):
             want = want + s * pt
         assert got == want, n
+
+
+def test_signed_digit_recoding(rng):
+    """extract_digits_signed: exact reconstruction, bounded magnitudes, and
+    the extra carry window when w*nw < 254 (e.g. w=11: 11*23=253)."""
+    from cudabulletproof_tpu.ops import pippenger as PP
+    import numpy as np
+    vals = [0, 1, S.ELL - 1, 2**253 - 1, rng.randrange(2**253)]
+    for w in (3, 4, 5, 6, 8, 11):
+        dg = np.asarray(PP.extract_digits_signed(F.from_ints(vals), w))
+        half = 1 << (w - 1)
+        assert dg.min() >= -half and dg.max() <= half, w
+        for i, v in enumerate(vals):
+            rec = sum(int(d) << (w * j) for j, d in enumerate(dg[:, i]))
+            assert rec == v, (w, v)
+
+
+def test_madd_precomp_identity_and_values(rng):
+    """madd_precomp rows encode (y+x, y-x, 2d*t, -2d*t) of the affine point."""
+    from cudabulletproof_tpu.ops import pippenger as PP
+    import numpy as np
+    pts = [oracle.IDENTITY, oracle.BASE, oracle.hash_to_point(b"mp", 7)]
+    pre = np.asarray(PP.madd_precomp(C.from_oracle(pts)))
+    for i, p in enumerate(pts):
+        x, y = p.affine()
+        ypx = F.to_int(pre[i, 0:20])
+        ymx = F.to_int(pre[i, 20:40])
+        td2 = F.to_int(pre[i, 40:60])
+        tdn = F.to_int(pre[i, 60:80])
+        assert ypx % oracle.P == (y + x) % oracle.P
+        assert ymx % oracle.P == (y - x) % oracle.P
+        assert td2 % oracle.P == (oracle.D2 * x * y) % oracle.P
+        assert (td2 + tdn) % oracle.P == 0

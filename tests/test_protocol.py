@@ -169,11 +169,13 @@ def test_undersized_generators_return_false(gens):
     assert not rp.verify_deterministic(proof, small)
 
 
-def test_timing_flags_refused(gens, monkeypatch):
-    """BP_MSM_SKIP_SORT etc. corrupt results; protocol entry points refuse."""
-    from cudabulletproof_tpu import config
+def test_timing_instrumentation_refused(gens, monkeypatch):
+    """benchmarks/_stages.py taps corrupt results; while installed, every
+    protocol entry point refuses to run (config.require_exact)."""
+    from cudabulletproof_tpu.ops import pippenger
     proof = rp.prove(42, S.sc_random(), N_BITS, gens)
-    monkeypatch.setattr(config, "MSM_SKIP_SORT", True)
+    monkeypatch.setattr(pippenger, "_INSTRUMENTED_STAGE", "scan",
+                        raising=False)
     with pytest.raises(RuntimeError):
         rp.verify(proof, gens)
     with pytest.raises(RuntimeError):
