@@ -30,7 +30,6 @@ def _tpu_extras(proof, gens):
     from cudabulletproof_tpu import config
     from cudabulletproof_tpu.models import fused
     from cudabulletproof_tpu.ops import curve as C, field as F
-    from cudabulletproof_tpu.ops.pippenger import msm_pippenger
 
     # batch-16 fused verify: ONE vmapped single-dispatch program
     proofs = [proof] * 16
@@ -44,26 +43,42 @@ def _tpu_extras(proof, gens):
     t = statistics.median(ts)
     out["tpu_batch16_verify_ms_per_proof"] = round(t / 16 * 1e3, 3)
 
-    # bucket-method MSM throughput, 2^16 points (BASELINE.md workload)
-    n = 1 << 16
-    w = config.msm_window_for(n)
-    base = C.base_point()
-    idx = jnp.arange(1, n + 1, dtype=jnp.int32)
-    sc = jnp.zeros((n, F.L), jnp.int32).at[:, 0].set(idx & F.MASK)
-    sc = sc.at[:, 1].set(idx >> F.W)
-    pts = C.scalarmult(C.GE(*(jnp.broadcast_to(c, (n, F.L)) for c in base)),
-                       sc)
-    ks = jnp.asarray(jnp.arange(n)[:, None] * 7919 % (F.MASK + 1)
-                     ).astype(jnp.int32) * jnp.ones((1, F.L), jnp.int32)
-    fn = lambda: jax.block_until_ready(msm_pippenger(pts, ks, w=w))
-    fn()
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    # bucket-method MSM throughput at 2^16 and 2^20 (BASELINE.md workloads).
+    # Scalars are hash-derived (uniform digits) so the number is
+    # argument-proof: structured scalars would flatter the signed-bucket
+    # select chains (round-3 verdict weak item 8).
+    import hashlib
+    from cudabulletproof_tpu.ops.msm import msm_auto
+    from cudabulletproof_tpu.utils import oracle
+
+    def make(n):
+        idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+        sc = jnp.zeros((n, F.L), jnp.int32).at[:, 0].set(idx & F.MASK)
+        sc = sc.at[:, 1].set(idx >> F.W)
+        base = C.base_point()
+        pts = C.scalarmult(
+            C.GE(*(jnp.broadcast_to(c, (n, F.L)) for c in base)), sc)
+        ks = F.from_ints([
+            int.from_bytes(hashlib.sha256(b"bench%d" % i).digest(), "little")
+            % oracle.ELL for i in range(n)])
+        return pts, ks
+
+    for label, n, iters in (("2e16", 1 << 16, 5), ("2e20", 1 << 20, 3)):
+        if os.environ.get("BP_BENCH_SKIP_" + label.upper()):
+            continue
+        pts, ks = make(n)
+        fn = lambda: jax.block_until_ready(msm_auto(pts, ks))
         fn()
-        ts.append(time.perf_counter() - t0)
-    out["tpu_msm_2e16_points_per_sec"] = round(n / statistics.median(ts))
-    out["tpu_msm_window_bits"] = w
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        out[f"tpu_msm_{label}_points_per_sec"] = round(
+            n / statistics.median(ts))
+    out["tpu_msm_window_bits"] = config.msm_window_for(
+        min(1 << 16, config.MSM_ACCUM_CHUNK),
+        "accum" if config.MSM_ACCUM_KERNEL else "scan")
     return out
 
 

@@ -53,7 +53,11 @@ def main():
     jax.block_until_ready(pts.x)
     print(f"n={n} backend={jax.default_backend()}", flush=True)
 
-    # reference result via the sort+scan path (oracle-validated elsewhere)
+    # reference result via the sort+scan path (oracle-validated elsewhere).
+    # BP_SWEEP_CHECK=0 (e.g. 2^20, where one monolithic scan-path program
+    # wedges the remote compile helper): configs cross-check each other —
+    # different w means disjoint digit decompositions, so agreement is a
+    # strong correctness signal.
     ref_w = config.msm_window_for(min(n, config.MSM_CHUNK))
     ref = None
     if os.environ.get("BP_SWEEP_CHECK", "1") != "0":
@@ -75,7 +79,11 @@ def main():
             print(f"w={w} lanes={lanes} u={unroll}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
-        ok = bool(C.eq(out, ref)) if ref is not None else None
+        if ref is None:
+            ref = out                      # first config becomes the anchor
+            ok = None
+        else:
+            ok = bool(C.eq(out, ref))
         ts = []
         for _ in range(3):
             t1 = time.perf_counter()

@@ -1,0 +1,68 @@
+"""Big-n MSM through msm_auto: accumulator path vs sort+scan path, with a
+cross-check between them (disjoint algorithms -> strong correctness signal).
+
+Run: python benchmarks/bench_msm_big.py [n]
+"""
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import hashlib
+
+import jax
+import jax.numpy as jnp
+
+from cudabulletproof_tpu import config
+from cudabulletproof_tpu.ops import curve as C, field as F
+from cudabulletproof_tpu.ops.msm import msm_auto
+from cudabulletproof_tpu.utils import oracle
+
+
+def make(n):
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)
+    sc = jnp.zeros((n, F.L), jnp.int32).at[:, 0].set(idx & F.MASK)
+    sc = sc.at[:, 1].set(idx >> F.W)
+    base = C.base_point()
+    pts = C.scalarmult(
+        C.GE(*(jnp.broadcast_to(c, (n, F.L)) for c in base)), sc)
+    ks = F.from_ints([
+        int.from_bytes(hashlib.sha256(b"bench%d" % i).digest(), "little")
+        % oracle.ELL for i in range(n)])
+    return pts, ks
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    pts, ks = make(n)
+    jax.block_until_ready(pts.x)
+    print(f"n={n} backend={jax.default_backend()}", flush=True)
+
+    results = {}
+    for name, accum in (("accum", True), ("scan", False)):
+        if os.environ.get("BP_BIG_SKIP_" + name.upper()):
+            continue
+        config.MSM_ACCUM_KERNEL = accum
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(msm_auto(pts, ks))
+        cold = time.perf_counter() - t0
+        results[name] = out
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(msm_auto(pts, ks))
+            ts.append(time.perf_counter() - t0)
+        t = statistics.median(ts)
+        print(f"{name}: {t*1e3:8.1f} ms  {n/t/1e3:8.1f} K pts/s  "
+              f"(cold {cold:.1f}s)", flush=True)
+    if len(results) == 2:
+        ok = bool(C.eq(results["accum"], results["scan"]))
+        print(f"cross-check accum == scan: {ok}", flush=True)
+        assert ok
+
+
+if __name__ == "__main__":
+    main()

@@ -113,8 +113,10 @@ MSM_SCAN_RAW_LAYOUT = _env_flag("MSM_SCAN_RAW_LAYOUT", False)
 # sort / row-gather / scatter (the round-3 profile showed those, not math,
 # were ~75% of window time; the row gather is per-index bound at ~47ns/row).
 # Round 4: signed digits (half the buckets/selects), precomputed mixed-add
-# operands (7M adds), per-step unroll.
-MSM_ACCUM_KERNEL = _env_flag("MSM_ACCUM_KERNEL", False)
+# operands (7M adds), per-step unroll, in-kernel Horner window combine.
+# DEFAULT MSM on TPU since round 4: 1.05M pts/s at 2^16 vs the sort+scan
+# path's 0.60M (benchmarks/logs/msm_accum_sweep_r4_b.txt, v5e).
+MSM_ACCUM_KERNEL = _env_flag("MSM_ACCUM_KERNEL", True)
 # Window bits for the accumulator MSM (signed digits -> 2^(w-1) buckets).
 # See msm_window_for(n, path="accum") for the cost model; the default is the
 # hardware-swept optimum at 2^16-2^20 (benchmarks/bench_msm_accum.py).
@@ -123,10 +125,13 @@ MSM_ACCUM_WINDOW = _env_int("MSM_ACCUM_WINDOW", 4)
 MSM_ACCUM_LANES = _env_int("MSM_ACCUM_LANES", 1024)
 # Points per lane per grid step (amortizes the fixed Mosaic per-step cost).
 MSM_ACCUM_UNROLL = _env_int("MSM_ACCUM_UNROLL", 4)
-# Largest MSM the accumulator kernel takes as ONE Mosaic program (it has no
-# XLA gathers, so big programs are compiler-safe; chunking would re-pay the
-# per-window bucket fold once per chunk).  Above this, msm_auto chunks.
-MSM_ACCUM_CHUNK = _env_int("MSM_ACCUM_CHUNK", 1 << 20)
+# Largest MSM the accumulator kernel takes as ONE program.  Above this,
+# msm_auto chunks and ADDS the chunk results (each chunk is a complete MSM
+# since the Horner combine runs in-kernel), so the chunk tax is one point
+# add per chunk.  Compile time scales superlinearly with grid steps (2^16:
+# ~120 s, 2^18: ~2800 s, 2^20: compile-helper OOM — round-4 logs
+# msm_accum_2e{18,20}_r4.txt), so 2^16 is the default.
+MSM_ACCUM_CHUNK = _env_int("MSM_ACCUM_CHUNK", 1 << 16)
 # Run the bucket-weighted suffix fold as ONE Pallas kernel
 # (pallas_curve.bucket_fold: per-lane prefix+weight accumulators, in-VMEM
 # cross-lane carry scan via pltpu.roll, in-VMEM lane reduction) instead of
@@ -160,23 +165,25 @@ def msm_window_for(n: int, path: str = "scan") -> int:
     path="scan" (sort + segmented-scan windows): per window ~2n scan adds +
     3*2^w bucket-fold adds; minimize ceil(253/w) * (2n + 3*2^w).
 
-    path="accum" (zero-shuffle signed-bucket kernel): per window n mixed
-    adds, ~1.4n lane-select overhead (select chains scale with the 2^(w-1)
-    bucket count; calibrated on v5e: ~0.35n * 2^(w-1)/8 add-equivalents at
-    w=4), plus ~2*2^(w-1)*lanes full adds for the in-kernel weighted fold;
-    minimize ceil(253/w)+1 windows * that sum.  Validated by the round-4
-    hardware sweep (benchmarks/bench_msm_accum.py)."""
+    path="accum" (zero-shuffle signed-bucket kernel): per window, per point
+    the streamed mixed add costs ~12.4 ns (u=4, 1024 lanes, v5e round-4
+    micro profile: benchmarks/_accum_micro.py) plus ~0.3 ns per bucket of
+    select/write-back + VMEM-pressure overhead (fit to the measured
+    w=3/4/5 window sweep); per window the in-kernel weighted fold costs
+    2*(nb+1) lanes-wide unified adds at ~10.4 us each (1024 lanes).
+    Constants calibrated on the round-4 hardware sweep
+    (benchmarks/logs/msm_accum_sweep_r4_*.txt)."""
     if os.environ.get("BP_MSM_WINDOW"):
         return MSM_WINDOW
     best_w, best_c = 4, float("inf")
     if path == "accum":
         lanes = MSM_ACCUM_LANES
         for w in range(3, 9):
-            nwin = -(-254 // w)
-            nb = 1 << (w - 1)
-            # madd ~ 7/9 of a unified add; selects ~ 0.35/8 add-equiv/bucket
-            per_win = n * (7 / 9) + n * 0.35 * (nb / 8) + 2 * nb * lanes
-            c = nwin * per_win
+            nwin = -(-254 // w) + 1
+            nb = (1 << (w - 1)) + 1
+            per_win_ns = (n * (12.4 + 0.3 * nb)
+                          + 2 * nb * 10400 * (lanes / 1024))
+            c = nwin * per_win_ns
             if c < best_c:
                 best_w, best_c = w, c
         return best_w

@@ -97,13 +97,26 @@ def msm_auto(points: C.GE, scalars: jax.Array) -> C.GE:
         from . import pallas_curve as PC
         return PC.msm(points, scalars)
     if (config.MSM_ACCUM_KERNEL and _use_scan_kernel()
-            and n >= config.MSM_PIPPENGER_MIN
-            and n <= config.MSM_ACCUM_CHUNK):
-        # the zero-shuffle accumulator kernel has no XLA gathers, so a
-        # 2^20-point program neither wedges the compiler nor gains from
-        # chunking — and chunking would re-pay the per-window bucket fold
-        # once per chunk (~40 lane-wide adds x nw x n/chunk)
-        return pippenger.msm_pippenger(points, scalars)
+            and n >= config.MSM_PIPPENGER_MIN):
+        # zero-shuffle accumulator kernel; above MSM_ACCUM_CHUNK, chunk and
+        # add the chunk results — since the Horner window combine moved
+        # in-kernel (round 4) every chunk returns a COMPLETE MSM of its
+        # subset, so the chunk tax is one point-add per chunk (a 2^20-point
+        # single program OOM-kills the remote compile helper; 2^18 compiles)
+        ck = config.MSM_ACCUM_CHUNK
+        if n <= ck:
+            return pippenger.msm_pippenger(points, scalars)
+        parts = []
+        for off in range(0, n, ck):
+            end = min(off + ck, n)
+            p = C.GE(*(c[off:end] for c in points))
+            s = scalars[off:end]
+            if end - off < ck:
+                p, s = _pad_pow2(p, s, pad_min=ck)
+            parts.append(pippenger.msm_pippenger(p, s))
+        stacked = C.GE(*(jnp.stack([pt[i] for pt in parts])
+                         for i in range(4)))
+        return C.tree_reduce(stacked)
     if n > config.MSM_CHUNK:
         # chunked: reuse ONE compiled bucket-MSM program per chunk and fold
         # the partial points (compute-bound, so chunking costs nothing; a

@@ -465,8 +465,9 @@ def _madd(p, ypx2, ymx2, td2):
         [_fmul(e, f), _fmul(g, h), _fmul(f, g), _fmul(e, h)], axis=0)
 
 
-def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
-                         steps: int, lanes: int, unroll: int):
+def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, hacc_ref, *,
+                         nb: int, steps: int, lanes: int, unroll: int,
+                         w: int, nw: int):
     """Zero-shuffle SIGNED-bucket MSM window: points stream in NATURAL order;
     all nb bucket accumulators live in VMEM scratch; each step select-adds
     every lane's point into its |digit|'s bucket (one mixed 7M add + ~2*nb
@@ -491,12 +492,19 @@ def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
       added      = madd(acc_sel, q)    (ONE [*,lanes]-wide mixed add)
       sacc[b]    = where(m==b, added)  (write-back select chain)
     Digit 0 lanes select bucket slot 0's accumulator but the write-back
-    skips slot 0, so they add nothing.  At the last step the weighted fold
-    sum_b b*S_b runs in-kernel: a sequential suffix+total loop over buckets
-    (2*(nb-1) unified adds, lane-parallel) then an in-VMEM lane-halving
-    reduction; result in lane 0 of this window's out row."""
+    skips slot 0, so they add nothing.  At each window's last step the
+    weighted fold sum_b b*S_b runs in-kernel (sequential suffix+total loop
+    over buckets, lane-parallel, then lane-halving down to 128), and the
+    HORNER window combine acc = 2^w*acc + W_window ALSO runs in-kernel on a
+    [80, 128] accumulator (windows stream most-significant first) — the
+    round-4 glue profile measured the XLA single-point Horner at ~64 ms for
+    65 windows, i.e. MORE than the whole kernel; in-kernel it is ~5 narrow
+    ops per window.  The kernel's single output is the finished MSM result
+    (lane 0)."""
+    wd = pl.program_id(0)
     j = pl.program_id(1)
     t = lanes
+    hc = hacc_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
@@ -526,34 +534,64 @@ def _bucket_accum_kernel(p_ref, d_ref, o_ref, sacc_ref, *, nb: int,
     def _():
         d2 = _const_fe(_D2_LIMBS, t)
         idb = _identity_block(t)
-        suf = tot = idb
-        for b in range(nb - 1, 0, -1):
+
+        # fori_loop with a DYNAMIC scratch index on purpose: unrolling this
+        # into static sacc_ref[b] loads makes Mosaic's vector-layout pass
+        # abort inside the scf.if region (Check failed: limits[i] <= dim(i),
+        # reproduced 2026-08-19; benchmarks/_repro_accum3.py variants) — and
+        # the fold is 2*(nb-1) adds once per window, not the hot path.
+        def fold_body(k, carry):
+            suf, tot = carry
+            b = nb - 1 - k                        # nb-1 down to 1
             suf = _padd(suf, sacc_ref[b], d2)
             tot = _padd(tot, suf, d2)
-        total = tot
+            return suf, tot
+
+        _, total = jax.lax.fori_loop(0, nb - 1, fold_body, (idb, idb))
         m = lanes
-        while m > 1:
+        while m > hc:
             half = m // 2
             dh = _const_fe(_D2_LIMBS, half)
             total = _padd(total[:, :half], total[:, half:m], dh)
             m = half
-        o_ref[0] = jnp.pad(total, ((0, 0), (0, lanes - 1)))
+        # in-kernel Horner on the [80, hc] partials: doubling and addition
+        # both distribute over the pending lane reduction, so the window
+        # combine runs at hc lanes and the final halving happens once
+        dh = _const_fe(_D2_LIMBS, hc)
+        prev = jnp.where(wd == 0, _identity_block(hc), hacc_ref[:, :])
+        for _ in range(w):
+            prev = _pdbl(prev)
+        hacc_ref[:, :] = _padd(prev, total, dh)
+
+    @pl.when(jnp.logical_and(j == steps - 1, wd == nw - 1))
+    def _():
+        r = hacc_ref[:, :]
+        m = hc
+        while m > 1:
+            half = m // 2
+            dh = _const_fe(_D2_LIMBS, half)
+            r = _padd(r[:, :half], r[:, half:m], dh)
+            m = half
+        o_ref[:, :] = jnp.pad(r, ((0, 0), (0, o_ref.shape[1] - 1)))
 
 
-def msm_bucket_accum(pt: jax.Array, dg: jax.Array, nb: int) -> jax.Array:
-    """All Pippenger windows of one MSM as ONE Mosaic program.
+def msm_bucket_accum(pt: jax.Array, dg: jax.Array, nb: int,
+                     w: int) -> jax.Array:
+    """The WHOLE Pippenger MSM (all windows + Horner combine) as ONE Mosaic
+    program.
 
     pt: [steps, unroll, 80, lanes] PRECOMPUTED points in natural order
     (point (j*unroll + u)*lanes + l at (j, u, :, l); rows y+x | y-x | 2d*t |
     -2d*t, Z=1 — see pippenger.madd_precomp); dg: [nw, steps, unroll, lanes]
-    SIGNED digits in [-(nb-1), nb-1] (0 = skip).  Returns [nw, 80, lanes]
-    with each window's weighted bucket sum sum_b b*S_b in lane 0."""
+    SIGNED digits in [-(nb-1), nb-1] (0 = skip), rows ordered MOST-significant
+    window first.  Returns [80, hc] with the finished MSM in lane 0."""
     steps, unroll, _, lanes = pt.shape
     nw = dg.shape[0]
+    hc = min(lanes, 128)
     return pl.pallas_call(
         functools.partial(_bucket_accum_kernel, nb=nb, steps=steps,
-                          lanes=lanes, unroll=unroll),
-        out_shape=jax.ShapeDtypeStruct((nw, 4 * L, lanes), jnp.int32),
+                          lanes=lanes, unroll=unroll, w=w, nw=nw),
+        out_shape=jax.ShapeDtypeStruct((4 * L, hc), jnp.int32),
         grid=(nw, steps),
         in_specs=[
             pl.BlockSpec((1, unroll, 4 * L, lanes), lambda w, j: (j, 0, 0, 0),
@@ -561,9 +599,10 @@ def msm_bucket_accum(pt: jax.Array, dg: jax.Array, nb: int) -> jax.Array:
             pl.BlockSpec((1, 1, unroll, lanes), lambda w, j: (w, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4 * L, lanes), lambda w, j: (w, 0, 0),
+        out_specs=pl.BlockSpec((4 * L, hc), lambda w, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((nb, 4 * L, lanes), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nb, 4 * L, lanes), jnp.int32),
+                        pltpu.VMEM((4 * L, hc), jnp.int32)],
         interpret=PF._interpret(),
     )(pt, dg)
 

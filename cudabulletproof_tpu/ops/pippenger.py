@@ -419,7 +419,9 @@ def _msm_accum(points: C.GE, scalars: jax.Array, w: int,
 
     Round-4 shape: SIGNED digits (2^(w-1) buckets), points streamed as
     precomputed mixed-add operands (7M adds), `unroll` points per lane per
-    grid step.  Cost ~ nw * (n madds + ~2*2^(w-1)*lanes fold adds)."""
+    grid step, and the Horner window combine IN-KERNEL (the XLA single-point
+    Horner measured ~64 ms at 65 windows — more than the kernel itself).
+    Cost ~ nw * (n madds + ~2*2^(w-1)*lanes fold adds)."""
     from .. import config
     from . import pallas_curve as PC
     lanes = lanes or config.MSM_ACCUM_LANES
@@ -441,11 +443,11 @@ def _msm_accum(points: C.GE, scalars: jax.Array, w: int,
     nw = digits.shape[0]
     steps = (n + pad) // blk
     pt = pre.reshape(steps, unroll, lanes, 4 * F.L).transpose(0, 1, 3, 2)
-    dg = digits.reshape(nw, steps, unroll, lanes)
+    # most-significant window first: the kernel Horner-combines as it goes
+    dg = digits[::-1].reshape(nw, steps, unroll, lanes)
     nb = (1 << (w - 1)) + 1                          # |digit| in [0, 2^(w-1)]
-    out = PC.msm_bucket_accum(pt, dg, nb)            # [nw', 80, lanes]
-    window_sums = _unflat(out[:, :, 0])              # GE [nw']
-    return _horner_windows(window_sums, nw, w)
+    out = PC.msm_bucket_accum(pt, dg, nb, w)         # [80, hc], result lane 0
+    return _unflat(out[:, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("w",))

@@ -255,3 +255,27 @@ def test_madd_precomp_identity_and_values(rng):
         assert ymx % oracle.P == (y - x) % oracle.P
         assert td2 % oracle.P == (oracle.D2 * x * y) % oracle.P
         assert (td2 + tdn) % oracle.P == 0
+
+
+def test_accum_msm_chunked_routing(rng, monkeypatch):
+    """msm_auto above MSM_ACCUM_CHUNK: chunked accumulator MSMs whose
+    results ADD (each chunk is a complete MSM since the Horner combine is
+    in-kernel), incl. a padded final chunk."""
+    from cudabulletproof_tpu import config
+    from cudabulletproof_tpu.ops import msm as M2
+    monkeypatch.setattr(config, "MSM_PALLAS_SCAN_FORCE", True)
+    monkeypatch.setattr(config, "MSM_ACCUM_KERNEL", True)
+    monkeypatch.setattr(config, "MSM_ACCUM_WINDOW", 5)
+    monkeypatch.setattr(config, "MSM_ACCUM_LANES", 8)
+    monkeypatch.setattr(config, "MSM_ACCUM_UNROLL", 2)
+    monkeypatch.setattr(config, "MSM_ACCUM_CHUNK", 16)
+    monkeypatch.setattr(config, "MSM_PIPPENGER_MIN", 16)
+    monkeypatch.setattr(config, "PALLAS_CURVE", False)  # skip ladder fast path
+    n = 40                    # 2 full chunks + 1 padded chunk
+    pts = [oracle.hash_to_point(b"pbc", i) for i in range(n)]
+    sc = [rng.randrange(S.ELL) for _ in range(n)]
+    got = C.to_oracle(M2.msm_auto(C.from_oracle(pts), F.from_ints(sc)))[0]
+    want = oracle.IDENTITY
+    for pt, s in zip(pts, sc):
+        want = want + s * pt
+    assert got == want
