@@ -41,9 +41,9 @@ def main():
 
     native_ms = None
     if native.available():
-        blob = serialization.serialize_proof(proofs[0])
-        assert native.verify(blob)
-        native_ms = med(lambda: native.verify(blob), iters=15) * 1e3
+        blob = serialization.serialize_range_proof(proofs[0])
+        assert native.verify_range(blob)
+        native_ms = med(lambda: native.verify_range(blob), iters=15) * 1e3
         print(json.dumps({"path": "native_single", "ms_per_proof":
                           round(native_ms, 3)}), flush=True)
 
