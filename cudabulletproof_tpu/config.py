@@ -50,6 +50,10 @@ MSM_PIPPENGER_MIN = _env_int("MSM_PIPPENGER_MIN", 4096)
 # Pippenger is the flat-cost Pallas ladder (8.6 us/pt); measured crossover
 # ~16K points (Pippenger: ~12 us/pt at 8K, 2.1 us/pt at 64K on v5e).
 FUSED_PIPPENGER_MIN = _env_int("FUSED_PIPPENGER_MIN", 16384)
+# Same crossover for the zero-shuffle accumulator MSM (round 4): ~2.3 us/pt
+# already at 8K bases, crossing the ladder near 2K (cost model
+# msm_window_for(path="accum") + benchmarks/logs/msm_accum_sweep_r4_b.txt).
+FUSED_ACCUM_MIN = _env_int("FUSED_ACCUM_MIN", 2048)
 # Default Pippenger window bits (digit width) when not chosen per-size.
 MSM_WINDOW = _env_int("MSM_WINDOW", 8)
 # Default Straus window bits.

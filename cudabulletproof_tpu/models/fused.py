@@ -98,21 +98,45 @@ def _ladder(points: C.GE, fl: jax.Array) -> C.GE:
     return C.GE(*(c.reshape(batch + (F.L,)) for c in out))
 
 
+def _use_accum() -> bool:
+    """Route fused-program MSMs through the zero-shuffle accumulator kernel
+    (decided at trace time; True on TPU with the round-4 default config)."""
+    from .. import config
+    from ..ops.pippenger import _use_scan_kernel
+    return config.MSM_ACCUM_KERNEL and _use_scan_kernel()
+
+
+def _fused_msm_min() -> int:
+    """Base count above which fused programs leave the flat per-lane ladder
+    (8.6 us/pt) for a bucket MSM.  The accumulator kernel reaches ~2.3 us/pt
+    already at 8K bases and crosses the ladder near 2K
+    (config.msm_window_for cost model + round-4 sweep); the sort+scan path
+    only crosses at ~16K."""
+    from .. import config
+    return (config.FUSED_ACCUM_MIN if _use_accum()
+            else config.FUSED_PIPPENGER_MIN)
+
+
 def _pippenger_rows(points: C.GE, fl: jax.Array) -> C.GE:
     """B bucket-method MSMs: points GE [m] (shared) or [B, m] (per-row),
     fl [B, m, 20] field-limb scalars -> GE [B].  Used inside the fused
-    programs above config.FUSED_PIPPENGER_MIN bases (measured crossover vs
-    the per-lane ladder: ladder = 8.6 us/pt flat, Pippenger ~12 us/pt at 8K
-    but 2.1 us/pt at 64K — the ladder wins until ~16K)."""
+    programs above _fused_msm_min() bases; on TPU the zero-shuffle
+    accumulator kernel, elsewhere sort+scan Pippenger."""
     from .. import config
     from ..ops import msm as M, pippenger
     per_row = points.x.ndim == 3
+    accum = _use_accum()
     outs = []
     for b_i in range(fl.shape[0]):
         row = C.GE(*(c[b_i] for c in points)) if per_row else points
         pts_p, fl_p = M._pad_pow2(row, fl[b_i])
-        outs.append(pippenger.msm_pippenger(
-            pts_p, fl_p, w=config.msm_window_for(fl_p.shape[0])))
+        if accum:
+            outs.append(pippenger._msm_accum(
+                pts_p, fl_p,
+                w=config.msm_window_for(fl_p.shape[0], "accum")))
+        else:
+            outs.append(pippenger.msm_pippenger(
+                pts_p, fl_p, w=config.msm_window_for(fl_p.shape[0])))
     return C.GE(*(jnp.stack([o[i] for o in outs]) for i in range(4)))
 
 
@@ -123,7 +147,7 @@ def _msm_compressed(points: C.GE, sc: jax.Array) -> jax.Array:
     from .. import config
     B, m = sc.shape[0], sc.shape[1]
     fl = SC.to_field_limbs(sc)                       # [B, m, 20]
-    if m >= config.FUSED_PIPPENGER_MIN:
+    if m >= _fused_msm_min():
         return C.to_bytes_batch(_pippenger_rows(points, fl))
     pb = C.GE(*(jnp.broadcast_to(c, (B, m, F.L)) for c in points))
     acc = _ladder(pb, fl)                            # GE [B, m]
@@ -163,7 +187,7 @@ def _msm_point(points: C.GE, sc: jax.Array, mesh=None,
         w = (config.msm_window_for(local_n)
              if local_n >= config.MSM_PIPPENGER_MIN else 0)
         return msm_sharded(points, fl, mesh=mesh, axis=axis, w=w)
-    if fl.shape[0] >= config.FUSED_PIPPENGER_MIN:
+    if fl.shape[0] >= _fused_msm_min():
         out = _pippenger_rows(points, fl[None])
         return C.GE(*(c[0] for c in out))
     acc = _ladder(points, fl)
@@ -351,11 +375,16 @@ def prove(value: int, blinding: int, n: int,
 
 # --- zero-sync verifier ------------------------------------------------------
 @functools.lru_cache(maxsize=None)
-def _verify_fn(n: int):
-    """One-dispatch verifier with ON-DEVICE challenge derivation.
+def _verify_parts_fn(n: int):
+    """The verifier body MINUS the final MSM: derives all challenges on
+    device and returns (valid, RLC scalar vector, decompressed proof points).
 
-    vmap-able over a leading proof batch for single-program batch
-    verification (each proof keeps its own transcript/challenge stream)."""
+    Scalar layout matches the base layout [G(n) | H(n) | g h V A S T1 T2 |
+    L(k) | R(k)]: rows 0..2n+1 weight the SHARED generators, the rest weight
+    this proof's points.  Every scalar is homogeneous degree 1 in the random
+    weights (r1, r2), so summing several proofs' scalar vectors (fresh
+    randomness per proof) is the standard sound batch RLC — the merged batch
+    verifier exploits exactly this."""
     k = n.bit_length() - 1
     npts = 5 + 2 * k
     two_n = SC.from_ints([pow(2, i, S.ELL) for i in range(n)])
@@ -364,7 +393,7 @@ def _verify_fn(n: int):
     for j in range(k):
         bit_tab[j] = (np.arange(n) >> (k - 1 - j)) & 1
 
-    def fn(blob, rnd, gp):
+    def parts(blob, rnd, gp):
         """blob: uint8 [(npts+5)*32] = [V A S T1 T2 L R | taux mu t_hat a b]
         (scalars canonical 32-byte LE); rnd: [2, SL] nonzero RLC weights;
         gp: packed generators [2n+2, 80]."""
@@ -433,20 +462,68 @@ def _verify_fn(n: int):
         lr_sc = [SC.neg(SC.mul(r2, SC.sq(u))) for u in us] + \
                 [SC.neg(SC.mul(r2, SC.sq(ui))) for ui in us_inv]
 
-        singles = C.GE(*(jnp.stack([gc, hc, c[0], c[1], c[2], c[3], c[4]])
-                         for gc, hc, c in zip(g, h, pts)))
-        lr_pts = C.GE(*(c[5:] for c in pts))
-        bases = C.GE(*(jnp.concatenate([gc, hc, sc, lc], axis=0)
-                       for gc, hc, sc, lc in zip(G, H, singles, lr_pts)))
         scalars = jnp.concatenate(
             [g_sc, h_sc,
              jnp.stack([sc_g, sc_h, sc_v, sc_a, sc_s, sc_t1, sc_t2]),
              jnp.stack(lr_sc) if lr_sc
              else jnp.zeros((0, SC.SL), SC.DTYPE)], axis=0)
+        return jnp.all(valid), scalars, pts
+
+    return parts
+
+
+def _assemble_bases(gp, n: int, pts: C.GE) -> C.GE:
+    """[G(n) | H(n) | g | h | proof points] in the _verify_parts_fn layout.
+    pts may carry a leading batch axis (merged batch verification)."""
+    G, H, g, h = _unpack_gens(gp, n)
+    return C.GE(*(jnp.concatenate(
+        [gc, hc, c1[None], c2[None], pc.reshape(-1, F.L)], axis=0)
+        for gc, hc, c1, c2, pc in zip(G, H, g, h, pts)))
+
+
+@functools.lru_cache(maxsize=None)
+def _verify_fn(n: int):
+    """One-dispatch verifier with ON-DEVICE challenge derivation.
+
+    vmap-able over a leading proof batch for single-program batch
+    verification (each proof keeps its own transcript/challenge stream)."""
+    parts = _verify_parts_fn(n)
+
+    def fn(blob, rnd, gp):
+        valid, scalars, pts = parts(blob, rnd, gp)
+        bases = _assemble_bases(gp, n, pts)
+        # scalar rows 2..6 of the singles group weight V A S T1 T2; the
+        # base order g h V A S T1 T2 matches the parts layout
         res = C.mul8(_msm_point(bases, scalars))     # cofactored check
-        return jnp.logical_and(jnp.all(valid), C.is_identity(res))
+        return jnp.logical_and(valid, C.is_identity(res))
 
     return jax.jit(fn), fn
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_verify_merged_fn(n: int):
+    """B proofs -> ONE merged MSM (round-4 batch crossover work).
+
+    The vmapped-independent batch verifier runs B separate ~(2n+2+npts)-point
+    ladder MSMs; here the per-proof RLC scalar vectors are summed over the
+    SHARED generator rows (sound because each proof draws fresh (r1, r2) —
+    see _verify_parts_fn) and concatenated over the proof-point rows, giving
+    one (2n+2 + B*npts)-point MSM that the accumulator kernel eats at
+    ~2.3 us/pt.  Per-proof transcripts/challenges stay independent."""
+    parts = _verify_parts_fn(n)
+
+    @jax.jit
+    def fn(blobs, rnd, gp):
+        valid, sc, pts = jax.vmap(parts, in_axes=(0, 0, None))(
+            blobs, rnd, gp)
+        shared = SC.sum_mod(sc[:, :2 * n + 2], axis=0)       # [2n+2, SL]
+        per = sc[:, 2 * n + 2:].reshape(-1, SC.SL)           # [B*npts, SL]
+        bases = _assemble_bases(gp, n, pts)
+        scal = jnp.concatenate([shared, per], axis=0)
+        res = C.mul8(_msm_point(bases, scal))
+        return jnp.logical_and(jnp.all(valid), C.is_identity(res))
+
+    return fn
 
 
 def _proof_blob(proof: RangeProof) -> np.ndarray:
@@ -494,9 +571,17 @@ def _batch_verify_fn(n: int, body):
     return jax.jit(jax.vmap(body, in_axes=(0, 0, None)))
 
 
-def batch_verify(proofs, gens: Generators | None = None) -> bool:
-    """k same-size proofs in ONE dispatch via vmap over the verifier program
-    (each proof gets its own device-derived challenge stream)."""
+def batch_verify(proofs, gens: Generators | None = None,
+                 merged: bool = True) -> bool:
+    """k same-size proofs in ONE dispatch (each proof gets its own
+    device-derived challenge stream).
+
+    merged=True (default): the per-proof RLC relations are summed into ONE
+    (2n+2 + k*npts)-point MSM — sound because every proof draws fresh
+    random weights (_verify_parts_fn docstring) — so the curve work grows
+    with the number of DISTINCT points, not k full verifications.
+    merged=False keeps the vmapped-independent program (per-proof verdicts,
+    used for A/B and to localize a failure)."""
     import secrets
     from .. import config
     config.require_exact()
@@ -510,6 +595,9 @@ def batch_verify(proofs, gens: Generators | None = None) -> bool:
     rnd = SC.from_ints([secrets.randbelow(S.ELL - 1) + 1
                         for _ in range(2 * len(proofs))]).reshape(
         len(proofs), 2, SC.SL)
+    if merged:
+        return bool(_batch_verify_merged_fn(n)(
+            blobs, rnd, _gens_pack(gens, n)))
     _, body = _verify_fn(n)
     vfn = _batch_verify_fn(n, body)
     return bool(jnp.all(vfn(blobs, rnd, _gens_pack(gens, n))))

@@ -75,9 +75,12 @@ def test_fused_verify_rejects_malformed(gens, hproof):
 
 def test_fused_batch_verify(gens, hproof):
     proofs = [hproof, rp.prove(3, S.sc_random(), N_BITS, gens)]
-    assert fused.batch_verify(proofs, gens)
-    bad = dataclasses.replace(hproof, mu=(hproof.mu + 1) % S.ELL)
-    assert not fused.batch_verify([proofs[1], bad], gens)
+    # both programs: merged single-MSM batch (default) and vmapped-independent
+    for merged in (True, False):
+        assert fused.batch_verify(proofs, gens, merged=merged), merged
+        bad = dataclasses.replace(hproof, mu=(hproof.mu + 1) % S.ELL)
+        assert not fused.batch_verify([proofs[1], bad], gens,
+                                      merged=merged), merged
     assert fused.batch_verify([], gens)
 
 
@@ -93,3 +96,31 @@ def test_fused_prove_accepted_everywhere(gens):
 def test_fused_out_of_range_refused(gens):
     with pytest.raises(rp.ProveError):
         fused.prove(1 << N_BITS, 1, N_BITS, gens)
+
+
+def test_fused_msm_accum_routing(rng, monkeypatch):
+    """_msm_compressed / _msm_point with the accumulator kernel forced on
+    (interpret mode) match the ladder path — validates the round-4 fused
+    MSM routing without compiling a whole fused program on CPU."""
+    import jax.numpy as jnp
+    from cudabulletproof_tpu import config
+    from cudabulletproof_tpu.ops import curve as C, scalar_field as SC
+    from cudabulletproof_tpu.utils import oracle
+    monkeypatch.setattr(config, "MSM_PALLAS_SCAN_FORCE", True)
+    monkeypatch.setattr(config, "MSM_ACCUM_KERNEL", True)
+    monkeypatch.setattr(config, "MSM_ACCUM_WINDOW", 5)
+    monkeypatch.setattr(config, "MSM_ACCUM_LANES", 8)
+    monkeypatch.setattr(config, "MSM_ACCUM_UNROLL", 2)
+    m = 32
+    pts = C.from_oracle([oracle.hash_to_point(b"fmr", i) for i in range(m)])
+    sc = SC.from_ints([rng.randrange(S.ELL) for _ in range(m)])[None]
+    assert fused._use_accum()
+    monkeypatch.setattr(config, "FUSED_ACCUM_MIN", 16)   # accum route
+    got = fused._msm_compressed(pts, sc)
+    monkeypatch.setattr(config, "FUSED_ACCUM_MIN", 64)   # ladder route
+    want = fused._msm_compressed(pts, sc)
+    assert jnp.array_equal(got, want)
+    gp = fused._msm_point(pts, sc[0])
+    monkeypatch.setattr(config, "FUSED_ACCUM_MIN", 16)
+    ga = fused._msm_point(pts, sc[0])
+    assert bool(C.eq(ga, gp))
