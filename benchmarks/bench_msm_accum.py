@@ -67,7 +67,14 @@ def main():
         print(f"scan-path reference (w={ref_w}): {t0*1e3:.0f} ms cold",
               flush=True)
 
+    # Throughput lines are printed ONLY for configs whose result passed a
+    # correctness cross-check (round-4 verdict weak #3: an async-dispatch
+    # artifact once put a physically-impossible eq=None number in a committed
+    # log).  When BP_SWEEP_CHECK=0 the first config is the anchor: its
+    # throughput stays withheld until a SECOND (digit-disjoint) config
+    # matches it, which verifies both.
     best = None
+    anchor_line = None                     # (t, w, lanes, unroll, cold)
     for (w, lanes, unroll) in cfgs:
         fn = jax.jit(functools.partial(
             PP._msm_accum, w=w, lanes=lanes, unroll=unroll))
@@ -79,24 +86,39 @@ def main():
             print(f"w={w} lanes={lanes} u={unroll}: FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
-        if ref is None:
-            ref = out                      # first config becomes the anchor
-            ok = None
-        else:
-            ok = bool(C.eq(out, ref))
+        ok = None if ref is None else bool(C.eq(out, ref))
+        assert ok is not False, (w, lanes, unroll)
         ts = []
         for _ in range(3):
             t1 = time.perf_counter()
             jax.block_until_ready(fn(pts, sc))
             ts.append(time.perf_counter() - t1)
         t = statistics.median(ts)
-        nw = -(-254 // w) if (1 << (w - 1)) else 0
-        print(f"w={w} lanes={lanes} u={unroll}: {t*1e3:8.1f} ms  "
-              f"{n/t/1e3:8.1f} K pts/s  (cold {cold:.1f}s, eq={ok})",
-              flush=True)
-        assert ok is not False, (w, lanes, unroll)
+
+        def line(t, w, lanes, unroll, cold, ok):
+            return (f"w={w} lanes={lanes} u={unroll}: {t*1e3:8.1f} ms  "
+                    f"{n/t/1e3:8.1f} K pts/s  (cold {cold:.1f}s, eq={ok})")
+
+        if ok is None:
+            ref = out                      # anchor; throughput withheld
+            anchor_line = (t, w, lanes, unroll, cold)
+            print(f"w={w} lanes={lanes} u={unroll}: [anchor — throughput "
+                  "withheld until a second config cross-checks it]",
+                  flush=True)
+            continue
+        if anchor_line is not None:        # this eq=True verifies the anchor
+            at, aw, al, au, ac = anchor_line
+            print("anchor verified by cross-check: "
+                  + line(at, aw, al, au, ac, True), flush=True)
+            if best is None or at < best[0]:
+                best = (at, aw, al, au)
+            anchor_line = None
+        print(line(t, w, lanes, unroll, cold, ok), flush=True)
         if best is None or t < best[0]:
             best = (t, w, lanes, unroll)
+    if anchor_line is not None:
+        print("anchor NEVER cross-checked (ran alone); timing withheld — "
+              "rerun with a second config to verify", flush=True)
     if best:
         t, w, lanes, unroll = best
         print(f"BEST n={n}: w={w} lanes={lanes} unroll={unroll} "

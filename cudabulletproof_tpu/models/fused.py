@@ -131,9 +131,11 @@ def _pippenger_rows(points: C.GE, fl: jax.Array) -> C.GE:
         row = C.GE(*(c[b_i] for c in points)) if per_row else points
         pts_p, fl_p = M._pad_pow2(row, fl[b_i])
         if accum:
-            outs.append(pippenger._msm_accum(
-                pts_p, fl_p,
-                w=config.msm_window_for(fl_p.shape[0], "accum")))
+            # joint (w, lanes) plan per padded size — small MSMs take small
+            # lanes to shrink the per-window in-kernel fold (the fixed cost
+            # that made round 4's lanes=1024 accum LOSE to the ladder inside
+            # fused programs at 8K bases; config.msm_accum_plan)
+            outs.append(pippenger.msm_accum(pts_p, fl_p))
         else:
             outs.append(pippenger.msm_pippenger(
                 pts_p, fl_p, w=config.msm_window_for(fl_p.shape[0])))
@@ -178,15 +180,12 @@ def _msm_point(points: C.GE, sc: jax.Array, mesh=None,
     the zero-sync verifier's single hot op scales across chips while the
     transcript/scalar algebra stays replicated (it is O(N) scalar work vs the
     MSM's O(N) curve work — the latter is ~1000x heavier per element)."""
-    from .. import config
     fl = SC.to_field_limbs(sc)
     if mesh is not None:
         from ..parallel.sharded_msm import msm_sharded
-        ndev = mesh.shape[axis]
-        local_n = -(-fl.shape[0] // ndev)
-        w = (config.msm_window_for(local_n)
-             if local_n >= config.MSM_PIPPENGER_MIN else 0)
-        return msm_sharded(points, fl, mesh=mesh, axis=axis, w=w)
+        # w=None: each local shard routes through the chunked, size-routed
+        # msm_auto (survives 2^19-per-device shards; round-4 verdict weak #2)
+        return msm_sharded(points, fl, mesh=mesh, axis=axis, w=None)
     if fl.shape[0] >= _fused_msm_min():
         out = _pippenger_rows(points, fl[None])
         return C.GE(*(c[0] for c in out))

@@ -105,7 +105,7 @@ def msm_auto(points: C.GE, scalars: jax.Array) -> C.GE:
         # single program OOM-kills the remote compile helper; 2^18 compiles)
         ck = config.MSM_ACCUM_CHUNK
         if n <= ck:
-            return pippenger.msm_pippenger(points, scalars)
+            return pippenger.msm_accum(points, scalars)
         parts = []
         for off in range(0, n, ck):
             end = min(off + ck, n)
@@ -113,7 +113,7 @@ def msm_auto(points: C.GE, scalars: jax.Array) -> C.GE:
             s = scalars[off:end]
             if end - off < ck:
                 p, s = _pad_pow2(p, s, pad_min=ck)
-            parts.append(pippenger.msm_pippenger(p, s))
+            parts.append(pippenger.msm_accum(p, s))
         stacked = C.GE(*(jnp.stack([pt[i] for pt in parts])
                          for i in range(4)))
         return C.tree_reduce(stacked)

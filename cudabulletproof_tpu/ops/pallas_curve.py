@@ -291,8 +291,8 @@ def seg_scan(pt: jax.Array, ht: jax.Array):
     depth, _, lanes = pt.shape
     return pl.pallas_call(
         functools.partial(_seg_scan_kernel, depth=depth, lanes=lanes),
-        out_shape=[jax.ShapeDtypeStruct((depth, 4 * L, lanes), jnp.int32),
-                   jax.ShapeDtypeStruct((4 * L, lanes), jnp.int32)],
+        out_shape=[PF.sds((depth, 4 * L, lanes), jnp.int32, pt, ht),
+                   PF.sds((4 * L, lanes), jnp.int32, pt, ht)],
         grid=(depth,),
         in_specs=[
             pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
@@ -318,8 +318,8 @@ def seg_scan_raw(pt_raw: jax.Array, ht: jax.Array):
     depth, lanes, _ = pt_raw.shape
     return pl.pallas_call(
         functools.partial(_seg_scan_kernel, depth=depth, lanes=lanes),
-        out_shape=[jax.ShapeDtypeStruct((depth, lanes, 4 * L), jnp.int32),
-                   jax.ShapeDtypeStruct((lanes, 4 * L), jnp.int32)],
+        out_shape=[PF.sds((depth, lanes, 4 * L), jnp.int32, pt_raw, ht),
+                   PF.sds((lanes, 4 * L), jnp.int32, pt_raw, ht)],
         grid=(depth,),
         in_specs=[
             pl.BlockSpec((1, lanes, 4 * L), lambda d: (d, 0, 0),
@@ -432,7 +432,7 @@ def bucket_fold(body_flat: jax.Array, lanes: int = 128) -> jax.Array:
     pt = body_flat.reshape(lanes, depth, 4 * L).transpose(1, 2, 0)
     out = pl.pallas_call(
         functools.partial(_bucket_fold_kernel, depth=depth, lanes=lanes),
-        out_shape=jax.ShapeDtypeStruct((4 * L, lanes), jnp.int32),
+        out_shape=PF.sds((4 * L, lanes), jnp.int32, pt),
         grid=(depth,),
         in_specs=[pl.BlockSpec((1, 4 * L, lanes), lambda d: (d, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -591,7 +591,7 @@ def msm_bucket_accum(pt: jax.Array, dg: jax.Array, nb: int,
     return pl.pallas_call(
         functools.partial(_bucket_accum_kernel, nb=nb, steps=steps,
                           lanes=lanes, unroll=unroll, w=w, nw=nw),
-        out_shape=jax.ShapeDtypeStruct((4 * L, hc), jnp.int32),
+        out_shape=PF.sds((4 * L, hc), jnp.int32, pt, dg),
         grid=(nw, steps),
         in_specs=[
             pl.BlockSpec((1, unroll, 4 * L, lanes), lambda w, j: (j, 0, 0, 0),
@@ -630,7 +630,7 @@ def _run_pointwise(kernel, arity, *flats):
     ins = [_pad_lanes(a, npad) for a in flats]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4 * L, npad), jnp.int32),
+        out_shape=PF.sds((4 * L, npad), jnp.int32, *ins),
         grid=(nt,),
         in_specs=[pl.BlockSpec(
             (a.shape[0], LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -672,7 +672,7 @@ def scalarmult_raw(p: C.GE, s: jax.Array) -> C.GE:
     st = _pad_lanes(s, npad)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4 * L, npad), jnp.int32),
+        out_shape=PF.sds((4 * L, npad), jnp.int32, pt, st),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((4 * L, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -697,7 +697,7 @@ def tree_reduce(p: C.GE) -> C.GE:
     pt = _pad_lanes(_flatten(p), npad, fill=_identity_row())
     out = pl.pallas_call(
         _reduce_kernel,
-        out_shape=jax.ShapeDtypeStruct((4 * L, nt * 128), jnp.int32),
+        out_shape=PF.sds((4 * L, nt * 128), jnp.int32, pt),
         grid=(nt,),
         in_specs=[pl.BlockSpec((4 * L, LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],

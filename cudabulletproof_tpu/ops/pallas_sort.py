@@ -79,7 +79,7 @@ def _pass_rank(keys_blk: jax.Array, radix: int) -> jax.Array:
     nblk = keys_blk.shape[0]
     counts = pl.pallas_call(
         _hist_kernel(radix),
-        out_shape=jax.ShapeDtypeStruct((radix, _SUB, _LN), jnp.int32),
+        out_shape=PF.sds((radix, _SUB, _LN), jnp.int32, keys_blk),
         grid=(nblk,),
         in_specs=[pl.BlockSpec((1, _SUB, _LN), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -93,7 +93,7 @@ def _pass_rank(keys_blk: jax.Array, radix: int) -> jax.Array:
     base = (jnp.cumsum(flat) - flat).reshape(radix, _SUB, _LN).astype(jnp.int32)
     return pl.pallas_call(
         _rank_kernel(radix),
-        out_shape=jax.ShapeDtypeStruct((nblk, _SUB, _LN), jnp.int32),
+        out_shape=PF.sds((nblk, _SUB, _LN), jnp.int32, keys_blk, base),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((1, _SUB, _LN), lambda t: (t, 0, 0),

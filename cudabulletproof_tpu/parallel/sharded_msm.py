@@ -32,10 +32,19 @@ from jax import shard_map
 from ..ops import curve as C, field as F, msm as M, pippenger
 
 
-def _local_partial(points: C.GE, scalars: jax.Array, w: int) -> C.GE:
+def _local_partial(points: C.GE, scalars: jax.Array, w: int | None) -> C.GE:
     """One device's shard -> its partial MSM point, shape [1] on the device
-    axis so the shard_map output is the [ndev] array of partials."""
-    if w > 0:
+    axis so the shard_map output is the [ndev] array of partials.
+
+    w=None (the default) routes the local body through msm_auto — the same
+    size-routed, CHUNKED path as single-chip MSMs, so a 2^19-point shard
+    compiles as reuses-one-2^16-program chunks instead of one monolithic
+    accumulator program (which is in the known compile-OOM regime above 2^18
+    — NOTES.md, round-4 verdict weak #2).  Explicit w forces the sort+scan
+    Pippenger at that width; w=0 forces the ladder."""
+    if w is None:
+        local = M.msm_auto(points, scalars)
+    elif w > 0:
         local = pippenger.msm_pippenger(points, scalars, w=w)
     else:
         local = M.msm(points, scalars)
@@ -55,13 +64,15 @@ def _pad_to_multiple(points: C.GE, scalars: jax.Array, k: int):
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "w"))
 def msm_sharded(points: C.GE, scalars: jax.Array, *, mesh: Mesh,
-                axis: str = "dp", w: int = 8) -> C.GE:
+                axis: str = "dp", w: int | None = None) -> C.GE:
     """Sharded MSM over `mesh`: sum_i scalars[i] * points[i].
 
     points: GE [n] / scalars [n, 20] radix-2^13 limbs, arbitrary placement
     (resharded here); n is identity-padded to a multiple of the axis size.
-    Returns a single (replicated) GE.
+    w=None routes each local shard through the chunked msm_auto (see
+    _local_partial).  Returns a single (replicated) GE.
     """
+    from .. import config
     ndev = mesh.shape[axis]
     points, scalars = _pad_to_multiple(points, scalars, ndev)
     ge_spec = C.GE(*(P(axis, None) for _ in range(4)))
@@ -70,17 +81,21 @@ def msm_sharded(points: C.GE, scalars: jax.Array, *, mesh: Mesh,
         mesh=mesh,
         in_specs=(ge_spec, P(axis, None)),
         out_specs=ge_spec,
+        check_vma=config.SHARD_CHECK_VMA,            # see config docstring
     )(points, scalars)                               # GE [ndev]
     return C.tree_reduce(partials)
 
 
 def msm_sharded_ints(points: C.GE, scalars, *, mesh: Mesh,
-                     axis: str = "dp", w: int | None = None) -> C.GE:
+                     axis: str = "dp", w: int | None = None,
+                     auto: bool = True) -> C.GE:
     """Protocol glue: python-int scalars (mod l) -> sharded MSM.
 
-    The per-device shard size (not the global n) picks the window width, and
-    the global n is padded so every device gets an equal power-of-two shard
-    — one compiled program per (shard-shape, w) reused across calls.
+    The global n is padded so every device gets an equal power-of-two shard
+    — one compiled program per shard shape reused across calls.  By default
+    (auto=True, w=None) each local shard routes through the size-routed
+    chunked msm_auto; pass auto=False to force the legacy per-shard-size
+    sort+scan window choice.
     """
     from .. import config
     assert points.x.shape[0] == len(scalars), \
@@ -98,7 +113,7 @@ def msm_sharded_ints(points: C.GE, scalars, *, mesh: Mesh,
         m *= 2
     points, sc = _pad_to_multiple(points, sc, ndev * m)
     local_n = sc.shape[0] // ndev
-    if w is None:
+    if w is None and not auto:
         w = (config.msm_window_for(local_n)
              if local_n >= config.MSM_PIPPENGER_MIN else 0)
     return msm_sharded(points, sc, mesh=mesh, axis=axis, w=w)

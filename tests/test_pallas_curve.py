@@ -205,19 +205,18 @@ def test_pallas_bucket_fold_in_msm(rng, monkeypatch):
 
 def test_pallas_bucket_accum_msm(rng, monkeypatch):
     """Zero-shuffle accumulator MSM (one-kernel windows, VMEM bucket
-    accumulators) vs the oracle, with padding (n not a lane multiple)."""
+    accumulators) vs the oracle, with padding (n not a lane multiple).
+    Calls the public msm_accum entry explicitly — msm_pippenger no longer
+    reroutes to the accumulator (round-4 verdict: its `w` was silently
+    ignored when the accum kernel hijacked the call)."""
     from cudabulletproof_tpu import config
     from cudabulletproof_tpu.ops import pippenger as PP
     monkeypatch.setattr(config, "MSM_PALLAS_SCAN_FORCE", True)
-    monkeypatch.setattr(config, "MSM_ACCUM_KERNEL", True)
-    monkeypatch.setattr(config, "MSM_ACCUM_WINDOW", 4)
-    monkeypatch.setattr(config, "MSM_ACCUM_LANES", 8)
-    monkeypatch.setattr(config, "MSM_ACCUM_UNROLL", 2)
     for n in (32, 13):        # multiple + non-multiple of lanes*unroll
         pts = [oracle.hash_to_point(b"pba%d" % n, i) for i in range(n)]
         sc = [rng.randrange(S.ELL) for _ in range(n)]
-        got = C.to_oracle(PP.msm_pippenger(
-            C.from_oracle(pts), F.from_ints(sc), w=13))[0]
+        got = C.to_oracle(PP.msm_accum(
+            C.from_oracle(pts), F.from_ints(sc), w=4, lanes=8, unroll=2))[0]
         want = oracle.IDENTITY
         for pt, s in zip(pts, sc):
             want = want + s * pt
