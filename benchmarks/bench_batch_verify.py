@@ -35,9 +35,19 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     batches = [int(b) for b in sys.argv[2:]] or [16, 64, 256]
     gens = get_generators(n)
-    # distinct proofs so the batch is honest work, not one cached row
-    proofs = [rp.prove((42 * (j + 1)) % (1 << n), S.sc_random(), n, gens)
-              for j in range(max(batches))]
+    # distinct proofs so the batch is honest work, not one cached row;
+    # built by the native prover when available (~ms each — the host-JAX
+    # prover pays ~0.5 s of tunnel syncs per proof, which at batch 4096
+    # would be half an hour of setup for the same wire bytes)
+    def mk(j):
+        v = (42 * (j + 1)) % (1 << n)
+        g = S.sc_random()
+        if native.available():
+            blob = native.prove_range(v, g, n)
+            if blob is not None:
+                return serialization.deserialize_range_proof(blob)
+        return rp.prove(v, g, n, gens)
+    proofs = [mk(j) for j in range(max(batches))]
 
     native_ms = None
     if native.available():

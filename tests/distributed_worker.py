@@ -57,7 +57,17 @@ scalars = mk(sc_full)
 rep = NamedSharding(mesh, P())
 fn = jax.jit(lambda p, s: msm_sharded(p, s, mesh=mesh, w=0),
              out_shardings=C.GE(rep, rep, rep, rep))
-out = fn(points, scalars)
+# Gloo communicator init happens at EXECUTION and carries a fixed 30 s
+# KV-store deadline; if the first collective sits inside a cold-cache big
+# program, the inter-process compile skew (~minutes on this 1-core box
+# under load) blows the deadline (observed: DEADLINE_EXCEEDED
+# cpu:gloo/0,1,2048,2049 at 30 s).  So: AOT-compile first (pure host work,
+# no collectives), then barrier, then execute — both processes enter the
+# 4-device rendezvous within seconds of each other.
+from jax.experimental import multihost_utils
+compiled = fn.lower(points, scalars).compile()
+multihost_utils.sync_global_devices("bp-dist-precompiled")
+out = compiled(points, scalars)
 got = C.to_oracle(C.GE(*(np.asarray(c) for c in out)))[0]
 
 want = oracle.IDENTITY

@@ -157,15 +157,16 @@ def test_msm_accum_plan_shapes():
     from cudabulletproof_tpu import config
     for n in (2048, 4096, 8192, 65536, 1 << 20):
         w, lanes, unroll = config.msm_accum_plan(n)
-        assert 3 <= w <= 8 and lanes in (256, 512, 1024) and unroll >= 1, n
+        assert 3 <= w <= 8 and lanes in (128, 256, 512, 1024), n
+        assert unroll >= 1, n
+        # (128, u=8) is measured only at the 2^16 chunk size and above
+        assert lanes >= 256 or n >= 65536, n
     # the fold term means a 2K MSM must not pick the 1024-lane config that
     # round 4 hardwired (its fixed per-window cost exceeds the stream cost)
-    assert config.msm_accum_plan(2048)[1] <= config.msm_accum_plan(1 << 16)[1]
+    assert config.msm_accum_plan(2048)[1] <= 256
 
 
-def test_two_process_distributed_msm():
-    """REAL multi-process path: 2 jax.distributed CPU processes, 2 virtual
-    devices each, global 4-device mesh, per-process local shards only."""
+def _spawn_dist_workers():
     import socket
     import subprocess
     import sys
@@ -189,6 +190,24 @@ def test_two_process_distributed_msm():
     finally:
         for p in procs:
             p.kill()
+    return procs, outs
+
+
+def test_two_process_distributed_msm():
+    """REAL multi-process path: 2 jax.distributed CPU processes, 2 virtual
+    devices each, global 4-device mesh, per-process local shards only.
+
+    XLA's Gloo communicator rendezvous carries a HARD-CODED 30 s KV-store
+    deadline (not configurable from JAX as of 0.8).  The worker AOT-compiles
+    before a barrier so only tiny programs sit inside that window, but on
+    this 1-core box an unrelated heavyweight compile can still starve one
+    worker past 30 s — that exact signature (and only it) is retried."""
+    for attempt in range(3):
+        procs, outs = _spawn_dist_workers()
+        if all(p.returncode == 0 for p in procs):
+            break
+        if not any("DEADLINE_EXCEEDED" in o and "gloo" in o for o in outs):
+            break                      # a real failure: report immediately
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"DIST-OK {pid}" in out, out
