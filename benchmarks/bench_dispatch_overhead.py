@@ -130,6 +130,21 @@ def main():
            med(lambda: fused.verify_agg(aproof, gens), iters=5) * 1e3,
            n=n, m=m, N=N)
 
+    # --- re-probe the trivial dispatches AFTER the big programs ----------
+    # Round-5 finding: the FIRST empty probe (before any big program runs)
+    # measures ~0.05 ms, while every trivial probe afterwards costs ~25 ms
+    # no matter its args/outputs/program size — the "dispatch floor" is
+    # SESSION STATE, not argument cost.  These duplicates pin that down.
+    report("empty_after_big", med(lambda: f_id(x8)) * 1e3)
+
+    @jax.jit
+    def fresh(v):
+        return v * 2 - 1
+    report("fresh_trivial_after_big", med(lambda: fresh(x8)) * 1e3)
+    for _ in range(64):            # spam trivial dispatches: does it decay?
+        jax.block_until_ready(f_id(x8))
+    report("empty_after_spam", med(lambda: f_id(x8)) * 1e3)
+
 
 if __name__ == "__main__":
     main()

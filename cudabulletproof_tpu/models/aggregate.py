@@ -72,8 +72,8 @@ def prove(values, blindings, n: int, gens: Generators | None = None) -> Aggregat
     V_list = M.msm_ints_multi(
         M.concat_ge(gens.g, gens.h),
         [[v % S.ELL, gamma % S.ELL] for v, gamma in zip(values, blindings)])
-    for j, vb in enumerate(V_list):
-        tr.append_point(b"V%d" % j, vb)
+    for vb in V_list:
+        tr.append_point(b"V", vb)
 
     aL = []
     for v in values:
@@ -201,8 +201,8 @@ def verify(proof: AggregatedRangeProof, gens: Generators | None = None,
     R_pts = C.GE(*(c[m + 4 + k:m + 4 + 2 * k] for c in pts))
 
     tr = _base_transcript(n, m)
-    for j, vb in enumerate(proof.V):
-        tr.append_point(b"V%d" % j, vb)
+    for vb in proof.V:
+        tr.append_point(b"V", vb)
     tr.append_point(b"A", proof.A)
     tr.append_point(b"S", proof.S)
     y = tr.challenge(DOMAIN_Y)

@@ -64,3 +64,46 @@ class DeviceTranscript:
         c = jnp.where(SC.is_zero(c)[..., None], SC.ones(c.shape[:-1]), c)
         self.append(b"chal" + domain, SC.to_bytes(c))
         return c
+
+    def append_points(self, label: bytes, pts: jax.Array) -> None:
+        """Absorb a [k, 32] row of compressed points under ONE fixed label
+        as a scanned body (one traced absorb kernel instead of k distinct
+        ones; the rolling state binds the order, so per-index labels add
+        nothing — round-5 transcript format change, kept in lockstep across
+        the host (models/aggregate.py), device, and native
+        (native/bulletproof.cpp) implementations)."""
+        def absorb(state, b):
+            t = DeviceTranscript.__new__(DeviceTranscript)
+            t.state = state
+            t.append_point(label, b)
+            return t.state, None
+
+        self.state, _ = jax.lax.scan(absorb, self.state, pts)
+
+    def ipa_challenges(self, Ls, Rs, domain: bytes):
+        """k IPA rounds — absorb (L_j, R_j), draw u_j — as ONE lax.scan body,
+        plus all u_j^{-1} in ONE vectorized Fermat chain.
+
+        Ls, Rs: uint8 [k, 32] compressed points (k static); returns
+        (us, us_inv), each [k, SL].  Bit-exact with k sequential
+        append_point/append_point/challenge calls — the scan body runs the
+        identical op sequence on the identical rolling state.  Exists
+        because a fused program's per-dispatch wall scales with its number
+        of DISTINCT fusion kernels (benchmarks/bench_verify_anatomy.py):
+        k traced copies of the round cost ~9 us/kernel every dispatch,
+        a scanned body is emitted once."""
+        k = Ls.shape[-2]
+        if k == 0:
+            z = jnp.zeros(self.state.shape[:-1] + (0, SC.SL), SC.DTYPE)
+            return z, z
+
+        def round_(state, LR):
+            t = DeviceTranscript.__new__(DeviceTranscript)
+            t.state = state
+            t.append_point(b"ipL", LR[0])
+            t.append_point(b"ipR", LR[1])
+            u = t.challenge(domain)
+            return t.state, u
+
+        self.state, us = jax.lax.scan(round_, self.state, (Ls, Rs))
+        return us, SC.invert(us)

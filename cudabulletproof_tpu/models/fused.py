@@ -373,6 +373,14 @@ def prove(value: int, blinding: int, n: int,
 
 
 # --- zero-sync verifier ------------------------------------------------------
+def _scan_mul(init, rows):
+    """Left-fold SC.mul over rows' axis 0 as ONE scanned body (k traced
+    copies of the mod-l multiply would each become distinct fusion kernels;
+    see the dispatch-anatomy note in _verify_parts_fn)."""
+    out, _ = jax.lax.scan(lambda s, p: (SC.mul(s, p), None), init, rows)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _verify_parts_fn(n: int):
     """The verifier body MINUS the final MSM: derives all challenges on
@@ -418,21 +426,20 @@ def _verify_parts_fn(n: int):
         tr.append_scalar(b"mu", mu)
         tr.append_scalar(b"t", t_hat)
         w = tr.challenge(DOMAIN_Q)
-        us = []
-        for j in range(k):
-            tr.append_point(b"ipL", pts_bytes[5 + j])
-            tr.append_point(b"ipR", pts_bytes[5 + k + j])
-            us.append(tr.challenge(IPA_DOMAIN))
+        # IPA challenge rounds as ONE lax.scan body instead of k traced
+        # copies, and the k round inverts as ONE vectorized Fermat chain.
+        # Wall-clock discipline, not style: the per-dispatch cost of a fused
+        # program scales with its number of DISTINCT fusion kernels (~9 us
+        # each through this runtime; benchmarks/bench_verify_anatomy.py),
+        # while loop-reused bodies are pipelined nearly free.  Bit-exact
+        # with the unrolled form — same op sequence, same byte stream.
+        us_arr, us_inv_arr = tr.ipa_challenges(
+            pts_bytes[5:5 + k], pts_bytes[5 + k:5 + 2 * k], IPA_DOMAIN)
 
         # fold scalars s_i = prod_j u_j^{+-1}; s_inv = reversed(s)
-        s = SC.ones((n,))
-        us_inv = []
-        for j in range(k):
-            u_inv = SC.invert(us[j])
-            us_inv.append(u_inv)
-            pick = jnp.where(jnp.asarray(bit_tab[j])[:, None],
-                             us[j][None], u_inv[None])
-            s = SC.mul(s, pick)
+        pick = jnp.where(jnp.asarray(bit_tab)[..., None],
+                         us_arr[..., None, :], us_inv_arr[..., None, :])
+        s = _scan_mul(SC.ones(pick.shape[1:-1]), pick)
         s_inv = s[::-1]
 
         z2 = SC.sq(z)
@@ -458,14 +465,13 @@ def _verify_parts_fn(n: int):
         sc_s = SC.neg(SC.mul(r2, x))
         sc_t1 = SC.neg(SC.mul(r1, x))
         sc_t2 = SC.neg(SC.mul(r1, x2))
-        lr_sc = [SC.neg(SC.mul(r2, SC.sq(u))) for u in us] + \
-                [SC.neg(SC.mul(r2, SC.sq(ui))) for ui in us_inv]
+        uu = jnp.concatenate([us_arr, us_inv_arr], axis=0)      # [2k, SL]
+        lr_sc = SC.neg(SC.mul(r2[None], SC.sq(uu)))
 
         scalars = jnp.concatenate(
             [g_sc, h_sc,
              jnp.stack([sc_g, sc_h, sc_v, sc_a, sc_s, sc_t1, sc_t2]),
-             jnp.stack(lr_sc) if lr_sc
-             else jnp.zeros((0, SC.SL), SC.DTYPE)], axis=0)
+             lr_sc], axis=0)
         return jnp.all(valid), scalars, pts
 
     return parts
@@ -608,7 +614,7 @@ def _prove_fn_agg(n: int, m: int):
     """One-dispatch aggregated prover (m values, n bits each, N = n*m).
 
     Transcript/domain parity with models/aggregate.py::prove (lockstep labels
-    "V%d"/"A"/"S"/"T1"/"T2", same challenge domains) — aggregate.verify, the
+    "V"/"A"/"S"/"T1"/"T2", same challenge domains) — aggregate.verify, the
     native C++ verifier, and _verify_fn_agg all accept its proofs.  Replaces
     the host-Fiat-Shamir path's ~17 tunnel syncs per proof with ONE dispatch
     (measured: BENCH.md "Aggregated / batched verification" fused rows,
@@ -637,8 +643,7 @@ def _prove_fn_agg(n: int, m: int):
 
         gh = C.GE(*(jnp.stack([a, b]) for a, b in zip(g, h)))
         V_b = _msm_compressed(gh, jnp.stack([vals, gammas], axis=1))  # [m,32]
-        for j in range(m):
-            tr.append_point(b"V%d" % j, V_b[j])
+        tr.append_points(b"V", V_b)
         hGH = C.GE(*(jnp.concatenate([c1[None], c2, c3], axis=0)
                      for c1, c2, c3 in zip(h, G, H)))
         AS_b = _msm_compressed(
@@ -813,8 +818,7 @@ def _verify_fn_agg(n: int, m: int, mesh=None):
         tr = DeviceTranscript(b"tpu-bulletproofs/range-agg")
         tr.append(b"n", n.to_bytes(4, "little"))
         tr.append(b"m", m.to_bytes(4, "little"))
-        for j in range(m):
-            tr.append_point(b"V%d" % j, pts_bytes[j])
+        tr.append_points(b"V", pts_bytes[:m])
         tr.append_point(b"A", pts_bytes[m])
         tr.append_point(b"S", pts_bytes[m + 1])
         y = tr.challenge(DOMAIN_Y)
@@ -826,20 +830,14 @@ def _verify_fn_agg(n: int, m: int, mesh=None):
         tr.append_scalar(b"mu", mu)
         tr.append_scalar(b"t", t_hat)
         w = tr.challenge(DOMAIN_Q)
-        us = []
-        for j in range(k):
-            tr.append_point(b"ipL", pts_bytes[m + 4 + j])
-            tr.append_point(b"ipR", pts_bytes[m + 4 + k + j])
-            us.append(tr.challenge(IPA_DOMAIN))
-
-        s = SC.ones((N,))
-        us_inv = []
-        for j in range(k):
-            u_inv = SC.invert(us[j])
-            us_inv.append(u_inv)
-            pick = jnp.where(jnp.asarray(bit_tab[j])[:, None],
-                             us[j][None], u_inv[None])
-            s = SC.mul(s, pick)
+        # scanned IPA rounds + one batched Fermat chain + scanned fold
+        # (same dispatch-anatomy rationale as _verify_parts_fn)
+        us_arr, us_inv_arr = tr.ipa_challenges(
+            pts_bytes[m + 4:m + 4 + k],
+            pts_bytes[m + 4 + k:m + 4 + 2 * k], IPA_DOMAIN)
+        pick = jnp.where(jnp.asarray(bit_tab)[..., None],
+                         us_arr[..., None, :], us_inv_arr[..., None, :])
+        s = _scan_mul(SC.ones(pick.shape[1:-1]), pick)
         s_inv = s[::-1]
 
         z2 = SC.sq(z)
@@ -866,8 +864,8 @@ def _verify_fn_agg(n: int, m: int, mesh=None):
         sc_t2 = SC.neg(SC.mul(r1, x2))
         sc_a = SC.neg(r2)
         sc_s = SC.neg(SC.mul(r2, x))
-        lr_sc = [SC.neg(SC.mul(r2, SC.sq(u))) for u in us] + \
-                [SC.neg(SC.mul(r2, SC.sq(ui))) for ui in us_inv]
+        uu = jnp.concatenate([us_arr, us_inv_arr], axis=0)      # [2k, SL]
+        lr_sc = SC.neg(SC.mul(r2[None], SC.sq(uu)))
 
         # bases order mirrors aggregate.verify:
         # [G(N) | H(N) | g h | V(m) | T1 T2 A S | L R]
@@ -882,7 +880,7 @@ def _verify_fn_agg(n: int, m: int, mesh=None):
         scalars = jnp.concatenate(
             [g_sc, h_sc, jnp.stack([sc_g, sc_h]), sc_v,
              jnp.stack([sc_t1, sc_t2, sc_a, sc_s]),
-             jnp.stack(lr_sc)], axis=0)
+             lr_sc], axis=0)
         res = C.mul8(_msm_point(bases, scalars, mesh=mesh))
         return jnp.logical_and(jnp.all(valid), C.is_identity(res))
 

@@ -420,9 +420,7 @@ bool prove_agg(AggregatedRangeProof& out, const uint64_t* values,
         ge Vj = ge_add(ge_scalarmult_sc(gens.g, sc_from_u64(values[j])),
                        ge_scalarmult_sc(gens.h, gammas[j]));
         ge_tobytes(out.V[j].data(), Vj);
-        char label[16];
-        snprintf(label, sizeof label, "V%u", j);
-        tr.append_point(label, out.V[j].data());
+        tr.append_point("V", out.V[j].data());
     }
 
     std::vector<sc> aL(N), aR(N), sL(N), sR(N);
@@ -537,11 +535,8 @@ bool verify_agg(const AggregatedRangeProof& proof, const Generators& gens) {
         return false;
 
     Transcript tr = base_transcript_agg(n, m);
-    for (uint32_t j = 0; j < m; j++) {
-        char label[16];
-        snprintf(label, sizeof label, "V%u", j);
-        tr.append_point(label, proof.V[j].data());
-    }
+    for (uint32_t j = 0; j < m; j++)
+        tr.append_point("V", proof.V[j].data());
     tr.append_point("A", proof.A);
     tr.append_point("S", proof.S);
     sc y = tr.challenge(DOMAIN_Y);
