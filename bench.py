@@ -63,11 +63,19 @@ def _tpu_extras(proof, gens):
             % oracle.ELL for i in range(n)])
         return pts, ks
 
-    for label, n, iters in (("2e16", 1 << 16, 5), ("2e20", 1 << 20, 3)):
+    # amortized wall: d back-to-back dispatches, ONE sync — throughput
+    # workloads never sync per MSM, and a blocking sync costs a fixed ~24 ms
+    # quantum through the tunnel (NOTES.md "Dispatch anatomy"), which at
+    # 2^16 would understate the kernel by ~2x
+    for label, n, iters, d in (("2e16", 1 << 16, 5, 4), ("2e20", 1 << 20, 3, 1)):
         if os.environ.get("BP_BENCH_SKIP_" + label.upper()):
             continue
         pts, ks = make(n)
-        fn = lambda: jax.block_until_ready(msm_auto(pts, ks))
+        def fn():
+            o = None
+            for _ in range(d):
+                o = msm_auto(pts, ks)
+            return jax.block_until_ready(o)
         fn()
         ts = []
         for _ in range(iters):
@@ -75,7 +83,7 @@ def _tpu_extras(proof, gens):
             fn()
             ts.append(time.perf_counter() - t0)
         out[f"tpu_msm_{label}_points_per_sec"] = round(
-            n / statistics.median(ts))
+            n * d / statistics.median(ts))
     out["tpu_msm_window_bits"] = config.msm_window_for(
         min(1 << 16, config.MSM_ACCUM_CHUNK),
         "accum" if config.MSM_ACCUM_KERNEL else "scan")

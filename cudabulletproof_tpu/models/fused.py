@@ -211,10 +211,106 @@ def _ipa_masks(n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _ipa_scan_tables(n: int):
+    """Stacked per-round gather tables for the SCANNED prover IPA loop.
+
+    _ipa_masks keeps every round n-periodic: each round's hi/lo split has
+    exactly n/2 members and each round's L/R MSM is the same [2, n+1] shape
+    — only a_vec/b_vec halve.  Representing a_vec/b_vec at FIXED length n
+    (active prefix + zero tail) and composing the per-round gathers into
+    full-vector index tables makes the whole loop a lax.scan body: the
+    round is traced ONCE instead of log2(n) times.  Wall-clock discipline,
+    not style — a fused program's per-dispatch cost scales with its number
+    of DISTINCT fusion kernels (NOTES.md "Dispatch anatomy").  Returns None
+    for n < 2 (no rounds)."""
+    rounds = _ipa_masks(n)
+    if not rounds:
+        return None
+    cols = {key: [] for key in ("hi", "act", "shift", "tA_L", "tB_R",
+                                "tA_R", "tB_L", "hi_idx", "lo_idx",
+                                "bidx")}
+    i = np.arange(n)
+    for (hsz, hi_mask, idx_a, idx_bR, idx_bL) in rounds:
+        hi_idx = np.where(hi_mask)[0]
+        lo_idx = np.where(~hi_mask)[0]
+        cols["hi"].append(hi_mask)
+        cols["act"].append(i < hsz)
+        cols["shift"].append(np.where(i < hsz, i + hsz, 0))
+        # composed into the FULL a_vec/b_vec: a_L[j] = a_vec[j],
+        # a_R[j] = a_vec[hsz + j], b likewise
+        cols["tA_L"].append(idx_a[hi_idx])
+        cols["tB_R"].append(hsz + idx_bR[lo_idx])
+        cols["tA_R"].append(hsz + idx_a[lo_idx])
+        cols["tB_L"].append(idx_bL[hi_idx])
+        cols["hi_idx"].append(hi_idx)
+        cols["lo_idx"].append(lo_idx)
+        cols["bidx"].append(np.stack([
+            np.concatenate([hi_idx, n + lo_idx, [2 * n]]),
+            np.concatenate([lo_idx, n + hi_idx, [2 * n]])]))
+    return {key: jnp.asarray(np.stack(v)) for key, v in cols.items()}
+
+
+def _ipa_prove_scan(tr, a_vec, b_vec, wG, wH, w, bases, n: int):
+    """The prover's IPA rounds as ONE scanned body (see _ipa_scan_tables).
+
+    Bit-exact with the unrolled loop: identical op sequence per round on
+    the identical values (the zero tails of the fixed-length a_vec/b_vec
+    contribute exact zeros to the masked inner products, and every MSM
+    scalar row is gathered from the active prefix only).  Returns
+    (tr, a_vec, b_vec, lr_bytes[2k, 32])."""
+    tabs = _ipa_scan_tables(n)
+    if tabs is None:
+        return tr, a_vec, b_vec, jnp.zeros((0, 32), jnp.uint8)
+
+    def body(carry, t):
+        state, a_vec, b_vec, wG, wH = carry
+        act = t["act"][:, None]
+        aLf = jnp.where(act, a_vec, 0)
+        aRf = jnp.where(act, jnp.take(a_vec, t["shift"], axis=0), 0)
+        bLf = jnp.where(act, b_vec, 0)
+        bRf = jnp.where(act, jnp.take(b_vec, t["shift"], axis=0), 0)
+        c_L = SC.inner(aLf, bRf)
+        c_R = SC.inner(aRf, bLf)
+        scL = jnp.concatenate(
+            [SC.mul(jnp.take(a_vec, t["tA_L"], axis=0),
+                    jnp.take(wG, t["hi_idx"], axis=0)),
+             SC.mul(jnp.take(b_vec, t["tB_R"], axis=0),
+                    jnp.take(wH, t["lo_idx"], axis=0)),
+             SC.mul(c_L, w)[None]], axis=0)
+        scR = jnp.concatenate(
+            [SC.mul(jnp.take(a_vec, t["tA_R"], axis=0),
+                    jnp.take(wG, t["lo_idx"], axis=0)),
+             SC.mul(jnp.take(b_vec, t["tB_L"], axis=0),
+                    jnp.take(wH, t["hi_idx"], axis=0)),
+             SC.mul(c_R, w)[None]], axis=0)
+        basesLR = C.GE(*(jnp.take(c, t["bidx"], axis=0) for c in bases))
+        LR = _msm_compressed(basesLR, jnp.stack([scL, scR]))
+        tt = DeviceTranscript.__new__(DeviceTranscript)
+        tt.state = state
+        tt.append_point(b"ipL", LR[0])
+        tt.append_point(b"ipR", LR[1])
+        u = tt.challenge(IPA_DOMAIN)
+        u_inv = SC.invert(u)
+        a_new = jnp.where(act, SC.add(SC.mul(aLf, u[None]),
+                                      SC.mul(aRf, u_inv[None])), 0)
+        b_new = jnp.where(act, SC.add(SC.mul(bLf, u_inv[None]),
+                                      SC.mul(bRf, u[None])), 0)
+        hi_m = t["hi"][:, None]
+        wG = jnp.where(hi_m, SC.mul(wG, u), SC.mul(wG, u_inv))
+        wH = jnp.where(hi_m, SC.mul(wH, u_inv), SC.mul(wH, u))
+        return (tt.state, a_new, b_new, wG, wH), LR
+
+    (state, a_vec, b_vec, _, _), LRs = jax.lax.scan(
+        body, (tr.state, a_vec, b_vec, wG, wH), tabs)
+    tr.state = state
+    lr = jnp.concatenate([LRs[:, 0], LRs[:, 1]], axis=0)
+    return tr, a_vec, b_vec, lr
+
+
+@functools.lru_cache(maxsize=None)
 def _prove_fn(n: int):
     """The one-dispatch prover program for n-bit proofs."""
     two_n = SC.from_ints([pow(2, i, S.ELL) for i in range(n)])
-    rounds = _ipa_masks(n)
 
     @jax.jit
     def fn(gp, aL_bits, scp):
@@ -288,45 +384,11 @@ def _prove_fn(n: int):
         a_vec, b_vec = l_vec, r_vec
         bases = C.GE(*(jnp.concatenate([c2, c3, c1[None]], axis=0)
                        for c1, c2, c3 in zip(g, G, H)))   # [G | H | g]
-        L_bytes, R_bytes = [], []
-        for (hsz, hi_mask, idx_a, idx_bR, idx_bL) in rounds:
-            a_L, a_R = a_vec[:hsz], a_vec[hsz:]
-            b_L, b_R = b_vec[:hsz], b_vec[hsz:]
-            c_L = SC.inner(a_L, b_R)
-            c_R = SC.inner(a_R, b_L)
-            hi_m = jnp.asarray(hi_mask)[:, None]
-            # static supports: scL is nonzero only on G[hi], H[lo], g (and
-            # scR on the complement) — gather those N+1 bases/weights
-            # instead of a 2N+1 MSM with structural zeros (halves the
-            # dominant ladder-tile count per round)
-            hi_idx = np.where(hi_mask)[0]
-            lo_idx = np.where(~hi_mask)[0]
-            Nn = hi_mask.shape[0]
-            bidxL = np.concatenate([hi_idx, Nn + lo_idx, [2 * Nn]])
-            bidxR = np.concatenate([lo_idx, Nn + hi_idx, [2 * Nn]])
-            basesLR = C.GE(*(jnp.stack([c[bidxL], c[bidxR]]) for c in bases))
-            scL = jnp.concatenate(
-                [SC.mul(a_L[idx_a[hi_idx]], wG[hi_idx]),
-                 SC.mul(b_R[idx_bR[lo_idx]], wH[lo_idx]),
-                 SC.mul(c_L, w)[None]], axis=0)
-            scR = jnp.concatenate(
-                [SC.mul(a_R[idx_a[lo_idx]], wG[lo_idx]),
-                 SC.mul(b_L[idx_bL[hi_idx]], wH[hi_idx]),
-                 SC.mul(c_R, w)[None]], axis=0)
-            LR = _msm_compressed(basesLR, jnp.stack([scL, scR]))
-            tr.append_point(b"ipL", LR[0])
-            tr.append_point(b"ipR", LR[1])
-            u = tr.challenge(IPA_DOMAIN)
-            u_inv = SC.invert(u)
-            a_vec = SC.add(SC.mul(a_L, u[None]), SC.mul(a_R, u_inv[None]))
-            b_vec = SC.add(SC.mul(b_L, u_inv[None]), SC.mul(b_R, u[None]))
-            wG = jnp.where(hi_m, SC.mul(wG, u), SC.mul(wG, u_inv))
-            wH = jnp.where(hi_m, SC.mul(wH, u_inv), SC.mul(wH, u))
-            L_bytes.append(LR[0])
-            R_bytes.append(LR[1])
-
-        lr = (jnp.stack(L_bytes + R_bytes)
-              if L_bytes else jnp.zeros((0, 32), jnp.uint8))
+        # static supports per round: scL is nonzero only on G[hi], H[lo], g
+        # (scR on the complement) — the scan body gathers those n+1
+        # bases/weights instead of a 2n+1 MSM with structural zeros
+        tr, a_vec, b_vec, lr = _ipa_prove_scan(
+            tr, a_vec, b_vec, wG, wH, w, bases, n)
         scalars_out = SC.to_bytes(jnp.stack(
             [taux, mu, t_hat, a_vec[0], b_vec[0]]))
         return jnp.concatenate(
@@ -620,7 +682,6 @@ def _prove_fn_agg(n: int, m: int):
     (measured: BENCH.md "Aggregated / batched verification" fused rows,
     benchmarks/check_fused_agg_tpu.py logs in benchmarks/logs/)."""
     N = n * m
-    rounds = _ipa_masks(N)
     pow2_mod = SC.from_ints([pow(2, i % n, S.ELL) for i in range(N)])
     blk = np.arange(N) // n                          # value block per index
 
@@ -696,45 +757,11 @@ def _prove_fn_agg(n: int, m: int):
         a_vec, b_vec = l_vec, r_vec
         bases = C.GE(*(jnp.concatenate([c2, c3, c1[None]], axis=0)
                        for c1, c2, c3 in zip(g, G, H)))   # [G | H | g]
-        L_bytes, R_bytes = [], []
-        for (hsz, hi_mask, idx_a, idx_bR, idx_bL) in rounds:
-            a_L, a_R = a_vec[:hsz], a_vec[hsz:]
-            b_L, b_R = b_vec[:hsz], b_vec[hsz:]
-            c_L = SC.inner(a_L, b_R)
-            c_R = SC.inner(a_R, b_L)
-            hi_m = jnp.asarray(hi_mask)[:, None]
-            # static supports: scL is nonzero only on G[hi], H[lo], g (and
-            # scR on the complement) — gather those N+1 bases/weights
-            # instead of a 2N+1 MSM with structural zeros (halves the
-            # dominant ladder-tile count per round)
-            hi_idx = np.where(hi_mask)[0]
-            lo_idx = np.where(~hi_mask)[0]
-            Nn = hi_mask.shape[0]
-            bidxL = np.concatenate([hi_idx, Nn + lo_idx, [2 * Nn]])
-            bidxR = np.concatenate([lo_idx, Nn + hi_idx, [2 * Nn]])
-            basesLR = C.GE(*(jnp.stack([c[bidxL], c[bidxR]]) for c in bases))
-            scL = jnp.concatenate(
-                [SC.mul(a_L[idx_a[hi_idx]], wG[hi_idx]),
-                 SC.mul(b_R[idx_bR[lo_idx]], wH[lo_idx]),
-                 SC.mul(c_L, w)[None]], axis=0)
-            scR = jnp.concatenate(
-                [SC.mul(a_R[idx_a[lo_idx]], wG[lo_idx]),
-                 SC.mul(b_L[idx_bL[hi_idx]], wH[hi_idx]),
-                 SC.mul(c_R, w)[None]], axis=0)
-            LR = _msm_compressed(basesLR, jnp.stack([scL, scR]))
-            tr.append_point(b"ipL", LR[0])
-            tr.append_point(b"ipR", LR[1])
-            u = tr.challenge(IPA_DOMAIN)
-            u_inv = SC.invert(u)
-            a_vec = SC.add(SC.mul(a_L, u[None]), SC.mul(a_R, u_inv[None]))
-            b_vec = SC.add(SC.mul(b_L, u_inv[None]), SC.mul(b_R, u[None]))
-            wG = jnp.where(hi_m, SC.mul(wG, u), SC.mul(wG, u_inv))
-            wH = jnp.where(hi_m, SC.mul(wH, u_inv), SC.mul(wH, u))
-            L_bytes.append(LR[0])
-            R_bytes.append(LR[1])
-
-        lr = (jnp.stack(L_bytes + R_bytes)
-              if L_bytes else jnp.zeros((0, 32), jnp.uint8))
+        # static supports per round: scL is nonzero only on G[hi], H[lo], g
+        # (scR on the complement) — the scan body gathers those N+1
+        # bases/weights instead of a 2N+1 MSM with structural zeros
+        tr, a_vec, b_vec, lr = _ipa_prove_scan(
+            tr, a_vec, b_vec, wG, wH, w, bases, N)
         scalars_out = SC.to_bytes(jnp.stack(
             [taux, mu, t_hat, a_vec[0], b_vec[0]]))
         return jnp.concatenate([V_b, AS_b, T_b, lr, scalars_out], axis=0)
