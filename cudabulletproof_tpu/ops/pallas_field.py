@@ -116,7 +116,7 @@ def _conv(a, b):
 
 def _conv_fold(a, b):
     """[20, T] x [20, T] -> [20, T] weakly-normalized product."""
-    return _carry_relax(_fold_wide(_conv(a, b)), 5)
+    return _carry_relax(_fold_wide(_conv(a, b)), 3)   # tests/test_bounds.py
 
 
 def _conv_sq(a):
@@ -138,7 +138,7 @@ def _conv_sq(a):
         # seg row j holds the coefficient at position 2i + j
         parts.append(jnp.pad(seg, ((2 * i, 2 * L - 1 - (i + L - 1) - 1),
                                    (0, 0))))
-    return _carry_relax(_fold_wide(sum(parts)), 5)
+    return _carry_relax(_fold_wide(sum(parts)), 3)   # tests/test_bounds.py
 
 
 def _mul_kernel(a_ref, b_ref, o_ref):
