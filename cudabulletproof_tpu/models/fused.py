@@ -19,8 +19,11 @@ Key structural fact exploited: the IPA's symbolic generator fold
 (models/ipa.py) has VALUE-INDEPENDENT bookkeeping — after round j, original
 index k sits at folded position k mod (n >> j), and the high/low split is
 bit (log2(n)-1-j) of k.  So every gather index and fold mask is a static
-numpy array baked into the trace, and only the scalar WEIGHTS are traced
-values.  The whole prover is straight-line code plus fori_loops.
+numpy array, every round's L/R MSM is the same [2, n+1] shape, and the
+whole IPA loop rolls into ONE lax.scan body over stacked index tables
+(_ipa_scan_tables) — which matters because a fused program's per-dispatch
+wall scales with its number of DISTINCT fusion kernels, not its executed
+work (NOTES.md "Dispatch anatomy", round 5).
 """
 from __future__ import annotations
 
@@ -108,9 +111,10 @@ def _use_accum() -> bool:
 
 def _fused_msm_min() -> int:
     """Base count above which fused programs leave the flat per-lane ladder
-    (8.6 us/pt) for a bucket MSM.  The accumulator kernel reaches ~2.3 us/pt
-    already at 8K bases and crosses the ladder near 2K
-    (config.msm_window_for cost model + round-4 sweep); the sort+scan path
+    for a bucket MSM.  The accumulator kernel beats the ladder at every
+    size >= 2048 under the joint (w, lanes) plan — measured standalone
+    (logs/msm_paths_sweep_r5.txt) AND in-fused at N=4096
+    (logs/check_fused_agg_tpu_n64m64_r5_accum.txt); the sort+scan path
     only crosses at ~16K."""
     from .. import config
     return (config.FUSED_ACCUM_MIN if _use_accum()

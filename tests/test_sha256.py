@@ -64,3 +64,41 @@ def test_device_transcript_lockstep():
         dc = SC.to_ints(SC.canonical(dev.challenge(b"SomeDomain%d" % i)))[0]
         assert hc == dc, i
         assert bytes(np.asarray(dev.state).tolist()) == host.state, i
+
+
+def test_scanned_transcript_methods_lockstep():
+    """The round-5 scan methods (append_points / ipa_challenges) must be
+    bit-exact with the equivalent sequential append/challenge calls — the
+    scan body runs the identical op sequence on the identical rolling
+    state (see DeviceTranscript docstrings)."""
+    from cudabulletproof_tpu.models.device_transcript import DeviceTranscript
+    from cudabulletproof_tpu.models.transcript import Transcript
+    from cudabulletproof_tpu.ops import scalar_field as SC
+
+    rng = random.Random(11)
+    pts = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(5)]
+    Ls = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(3)]
+    Rs = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(3)]
+
+    host = Transcript(b"scan-lockstep")
+    for p in pts:
+        host.append_point(b"V", p)
+    host_us = []
+    for lb, rb in zip(Ls, Rs):
+        host.append_point(b"ipL", lb)
+        host.append_point(b"ipR", rb)
+        host_us.append(host.challenge(b"ipa-u"))
+
+    dev = DeviceTranscript(b"scan-lockstep")
+    dev.append_points(b"V", jnp.asarray(
+        np.stack([np.frombuffer(p, np.uint8) for p in pts])))
+    us, us_inv = dev.ipa_challenges(
+        jnp.asarray(np.stack([np.frombuffer(b, np.uint8) for b in Ls])),
+        jnp.asarray(np.stack([np.frombuffer(b, np.uint8) for b in Rs])),
+        b"ipa-u")
+    assert bytes(np.asarray(dev.state).tolist()) == host.state
+    for j, hu in enumerate(host_us):
+        du = SC.to_ints(SC.canonical(us[j]))[0]
+        assert du == hu, j
+        dinv = SC.to_ints(SC.canonical(us_inv[j]))[0]
+        assert dinv == pow(hu, -1, SC.ELL), j
